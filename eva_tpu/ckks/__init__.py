@@ -1,0 +1,154 @@
+"""CKKS compiler: transforms a source program into an executable HE graph,
+selecting encryption parameters and an input signature.
+
+Pass pipeline (order is normative; reference eva/ckks/ckks_compiler.h:36-99):
+  TypeDeducer, ConstantFolder, [ReductionCombiner, ReductionLogExpander],
+  Rescaler, TypeDeducer, EncodeInserter, TypeDeducer, Relinearizer,
+  TypeDeducer, ModSwitcher (the only backward pass), TypeDeducer,
+  BackendLowering — then validation (LevelsChecker, ParameterChecker,
+  ScalesChecker) and parameter selection."""
+
+from __future__ import annotations
+
+import sys
+from typing import Dict, Tuple
+
+from ..ir import ENCODE_AT_SCALE, TYPE_ATTR, Program, TermMap, Type
+from ..passes import (ConstantFolder, ReductionCombiner, ReductionLogExpander,
+                      RotationKeysSelector, TypeDeducer)
+from ..traversal import ProgramTraversal
+from .checkers import (InconsistentParameters, LevelsChecker,
+                       ParameterChecker, ScalesChecker)
+from .config import CKKSConfig
+from .encode_insert import EncodeInserter
+from .lowering import BackendLowering
+from .modswitch import ModSwitcher
+from .params import (CKKSEncodingInfo, CKKSParameters, CKKSSignature,
+                     EncryptionParametersSelector, max_bits_for_degree,
+                     min_degree_for_bit_count)
+from .relinearize import EagerRelinearizer, LazyRelinearizer
+from .rescalers import RESCALER_CLASSES
+
+__all__ = [
+    "CKKSCompiler", "CKKSConfig", "CKKSParameters", "CKKSSignature",
+    "CKKSEncodingInfo", "InconsistentParameters",
+]
+
+
+class CKKSCompiler:
+    def __init__(self, config: Dict[str, str] = None):
+        if isinstance(config, CKKSConfig):
+            self.config = config
+        else:
+            self.config = CKKSConfig(config)
+
+    # -- pipeline -----------------------------------------------------------
+
+    def _transform(self, program: Program, types: TermMap, scales: TermMap) -> None:
+        rewrite = ProgramTraversal(program)
+        rewrite.forward_pass(TypeDeducer(program, types))
+        rewrite.forward_pass(ConstantFolder(program, scales))
+        if self.config.balance_reductions:
+            rewrite.forward_pass(ReductionCombiner(program))
+            rewrite.forward_pass(ReductionLogExpander(program, types))
+        rescaler_cls = RESCALER_CLASSES[self.config.rescaler]
+        rewrite.forward_pass(rescaler_cls(program, types, scales))
+        rewrite.forward_pass(TypeDeducer(program, types))
+        rewrite.forward_pass(EncodeInserter(program, types, scales))
+        rewrite.forward_pass(TypeDeducer(program, types))
+        if self.config.lazy_relinearize:
+            rewrite.forward_pass(LazyRelinearizer(program, types, scales))
+        else:
+            rewrite.forward_pass(EagerRelinearizer(program, types, scales))
+        rewrite.forward_pass(TypeDeducer(program, types))
+        rewrite.backward_pass(ModSwitcher(program, types, scales))
+        rewrite.forward_pass(TypeDeducer(program, types))
+        rewrite.forward_pass(BackendLowering(program, types))
+
+    def _validate(self, program: Program, types: TermMap, scales: TermMap) -> None:
+        traverse = ProgramTraversal(program)
+        traverse.forward_pass(LevelsChecker(program, types))
+        try:
+            traverse.forward_pass(ParameterChecker(program, types))
+        except InconsistentParameters:
+            if self.config.rescaler == "minimum":
+                raise RuntimeError(
+                    "The 'minimum' rescaler produced inconsistent parameters. "
+                    "Note that this rescaling policy is not general and thus "
+                    "will not work for all programs. Please use a different "
+                    "rescaler for this program.")
+            if self.config.rescaler == "always":
+                raise RuntimeError(
+                    "The 'always' rescaler produced inconsistent parameters. "
+                    "Note that this rescaling policy is not general. It is "
+                    "only guaranteed to work for programs that have equal "
+                    "scale for all inputs and constants.")
+            raise RuntimeError(
+                "The current rescaler produced inconsistent parameters. This "
+                "is a bug, as this rescaler should be able to handle all "
+                "programs.")
+        traverse.forward_pass(ScalesChecker(program, scales, types))
+
+    def _determine_parameters(self, program: Program, scales: TermMap,
+                              types: TermMap) -> CKKSParameters:
+        traverse = ProgramTraversal(program)
+        eps = EncryptionParametersSelector(program, scales, types)
+        traverse.forward_pass(eps)
+        rks = RotationKeysSelector(program, types)
+        traverse.forward_pass(rks)
+
+        enc_params = CKKSParameters()
+        enc_params.prime_bits = eps.get_encryption_parameters()
+        enc_params.rotations = rks.rotation_keys()
+
+        bit_count = sum(enc_params.prime_bits)
+        enc_params.poly_modulus_degree = min_degree_for_bit_count(
+            self.config.security_level, self.config.quantum_safe, bit_count)
+
+        slots = enc_params.poly_modulus_degree // 2
+        if self.config.warn_vec_size and slots > program.vec_size:
+            print(
+                f"WARNING: Program specifies vector size {program.vec_size} "
+                f"while at least {slots} slots are required for security. "
+                "This does not affect correctness, as the smaller vector size "
+                "will be transparently emulated.", file=sys.stderr)
+        if slots < program.vec_size:
+            if self.config.warn_vec_size:
+                print(
+                    f"WARNING: Program uses vector size {program.vec_size} "
+                    f"while only {slots} slots are required for security.",
+                    file=sys.stderr)
+            enc_params.poly_modulus_degree = 2 * program.vec_size
+        return enc_params
+
+    def _extract_signature(self, program: Program) -> CKKSSignature:
+        from ..ir import ENCODE_AT_LEVEL
+        inputs = {}
+        for name, term in program.inputs.items():
+            type_ = term.get_attr(TYPE_ATTR)
+            assert type_ != Type.Undef
+            inputs[name] = CKKSEncodingInfo(
+                type_, term.get_attr(ENCODE_AT_SCALE), term.get_attr(ENCODE_AT_LEVEL))
+        return CKKSSignature(program.vec_size, inputs)
+
+    # -- entry point --------------------------------------------------------
+
+    def compile(self, input_program: Program
+                ) -> Tuple[Program, CKKSParameters, CKKSSignature]:
+        program = input_program.deep_copy()
+
+        types = TermMap(Type.Undef)
+        scales = TermMap()
+        for source in program.get_sources():
+            if not source.has_attr(ENCODE_AT_SCALE):
+                for name, term in program.inputs.items():
+                    if source is term:
+                        raise RuntimeError(f"The scale for input {name} was not set.")
+                raise RuntimeError("The scale for a constant was not set.")
+            scales[source] = source.get_attr(ENCODE_AT_SCALE)
+
+        self._transform(program, types, scales)
+        self._validate(program, types, scales)
+        enc_params = self._determine_parameters(program, scales, types)
+        signature = self._extract_signature(program)
+        return program, enc_params, signature

@@ -1,0 +1,294 @@
+"""Compiler-only tests: IR behavior, pass pipeline, golden parameters.
+
+These run without any crypto (oracle: plaintext reference execution).
+Coverage model: reference tests/features.py + tests/bug_fixes.py."""
+
+import pytest
+
+from eva_tpu import EvaProgram, Input, Output, evaluate
+from eva_tpu.ckks import CKKSCompiler
+from eva_tpu.ir import Op, Program, Type
+from eva_tpu.metric import valuation_mse
+from helpers import compile_and_check
+
+
+def _random_inputs(prog, gen):
+    return {name: [gen() for _ in range(prog.vec_size)] for name in prog.inputs}
+
+
+class TestIR:
+    def test_vec_size_must_be_power_of_two(self):
+        with pytest.raises(RuntimeError):
+            Program("bad", 7)
+        with pytest.raises(RuntimeError):
+            Program("bad", 0)
+
+    def test_sources_sinks_maintained(self):
+        p = Program("g", 8)
+        a = p.make_input("a")
+        b = p.make_input("b")
+        s = p.make_term(Op.Add, [a, b])
+        out = p.make_output("y", s)
+        assert set(p.get_sources()) == {a, b}
+        assert set(p.get_sinks()) == {out}
+
+    def test_deep_copy_preserves_structure(self):
+        p = Program("g", 8)
+        a = p.make_input("a")
+        c = p.make_uniform_constant(2.0)
+        m = p.make_term(Op.Mul, [a, c])
+        p.make_output("y", m)
+        clone = p.deep_copy()
+        assert set(clone.inputs) == {"a"}
+        assert set(clone.outputs) == {"y"}
+        y = clone.outputs["y"]
+        assert y.op == Op.Output
+        assert y.operand_at(0).op == Op.Mul
+
+    def test_orphan_removal_on_replace(self):
+        p = Program("g", 8)
+        a = p.make_input("a")
+        c1 = p.make_uniform_constant(1.0)
+        c2 = p.make_uniform_constant(2.0)
+        m = p.make_term(Op.Mul, [c1, c2])
+        p.make_output("y", p.make_term(Op.Add, [a, m]))
+        folded = p.make_uniform_constant(2.0)
+        m.replace_all_uses_with(folded)
+        p.flush_orphans()
+        sources = set(p.get_sources())
+        assert c1 not in sources and c2 not in sources
+        assert folded in sources
+
+
+class TestEvaluate:
+    def test_polynomial(self):
+        prog = EvaProgram("poly", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x**2 + 5 * x - 2)
+        inputs = {"x": [float(i) for i in range(8)]}
+        out = evaluate(prog, inputs)
+        expect = [3 * v * v + 5 * v - 2 for v in inputs["x"]]
+        assert max(abs(a - b) for a, b in zip(out["y"], expect)) < 1e-9
+
+    def test_rotations(self):
+        prog = EvaProgram("rot", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("l", x << 2)
+            Output("r", x >> 3)
+        inputs = {"x": [float(i) for i in range(8)]}
+        out = evaluate(prog, inputs)
+        assert out["l"] == [2, 3, 4, 5, 6, 7, 0, 1]
+        assert out["r"] == [5, 6, 7, 0, 1, 2, 3, 4]
+
+    def test_negative_rotation(self):
+        prog = EvaProgram("rot", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", x << -2)
+        inputs = {"x": [float(i) for i in range(8)]}
+        out = evaluate(prog, inputs)
+        assert out["y"] == [6, 7, 0, 1, 2, 3, 4, 5]
+
+
+class TestGoldenParameters:
+    def test_output_rescaled(self):
+        """Lazy waterline rescales outputs (reference tests/bug_fixes.py:51-68)."""
+        prog = EvaProgram("OutputRescaled", vec_size=4)
+        with prog:
+            x = Input("x")
+            Output("y", x * x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        compiler = CKKSCompiler(
+            config={"rescaler": "lazy_waterline", "warn_vec_size": "false"})
+        _, params, _ = compiler.compile(prog)
+        assert params.prime_bits == [60, 20, 60, 60]
+
+    def test_reduction_balancer(self):
+        """Balancing reduces depth (reference tests/features.py:113-133)."""
+        prog = EvaProgram("ReductionTree", vec_size=16384)
+        with prog:
+            x1, x2, x3, x4 = (Input(f"x{i}") for i in range(1, 5))
+            Output("y", (x1 * (x2 * (x3 * x4))) + (x1 + (x2 + (x3 + x4))))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+
+        _, params, _ = compile_and_check(
+            prog, he=False,
+            config={"rescaler": "always", "balance_reductions": "false"})
+        assert params.prime_bits == [60, 20, 60, 60, 60, 60]
+
+        _, params, _ = compile_and_check(
+            prog, he=False,
+            config={"rescaler": "always", "balance_reductions": "true"})
+        assert params.prime_bits == [60, 20, 60, 60, 60]
+
+    def test_high_inner_term_scale(self):
+        """Lazy waterline with high inner scale (reference tests/bug_fixes.py:10-26)."""
+        prog = EvaProgram("HighInnerTermScale", vec_size=4)
+        with prog:
+            x1 = Input("x1")
+            x2 = Input("x2")
+            Output("y", x1 * x1 * x2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        compile_and_check(prog, he=False, config={"rescaler": "lazy_waterline"})
+
+
+class TestCompileSemantics:
+    """All rescalers/relinearizers preserve plaintext semantics."""
+
+    @pytest.mark.parametrize("rescaler", ["lazy_waterline", "eager_waterline", "always"])
+    @pytest.mark.parametrize("balance", ["true", "false"])
+    def test_rescalers_on_poly(self, rescaler, balance):
+        prog = EvaProgram("poly", vec_size=64)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x**2 + 5 * x - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, he=False,
+                          config={"rescaler": rescaler, "balance_reductions": balance})
+
+    @pytest.mark.parametrize("lazy", ["true", "false"])
+    def test_relinearizers(self, lazy):
+        prog = EvaProgram("relin", vec_size=64)
+        with prog:
+            x = Input("x")
+            y = Input("y")
+            Output("z", (x * y) * (x * y) + x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, he=False, config={"lazy_relinearize": lazy})
+
+    def test_bin_ops_all_encryption_combos(self):
+        import operator
+        for bin_op in (operator.add, operator.sub, operator.mul):
+            for enc1 in (False, True):
+                for enc2 in (False, True):
+                    prog = EvaProgram("BinOp", vec_size=64)
+                    with prog:
+                        a = Input("a", enc1)
+                        b = Input("b", enc2)
+                        Output("y", bin_op(a, b))
+                    prog.set_output_ranges(20)
+                    prog.set_input_scales(30)
+                    compile_and_check(prog, he=False)
+
+    def test_unary_ops(self):
+        for un_op in (lambda x: x, lambda x: -x, lambda x: x**3, lambda x: 42):
+            for enc in (False, True):
+                prog = EvaProgram("UnOp", vec_size=64)
+                with prog:
+                    x = Input("x", enc)
+                    Output("y", un_op(x))
+                prog.set_output_ranges(20)
+                prog.set_input_scales(30)
+                compile_and_check(prog, he=False)
+
+    def test_rotations_compile(self):
+        for rot_op in (lambda x, r: x << r, lambda x, r: x >> r):
+            for rot in range(-2, 2):
+                prog = EvaProgram("RotOp", vec_size=8)
+                with prog:
+                    x = Input("x")
+                    Output("y", rot_op(x, rot))
+                prog.set_output_ranges(20)
+                prog.set_input_scales(30)
+                compile_and_check(prog, he=False)
+
+    def test_mixed_unencrypted_computation(self):
+        for enc1 in (False, True):
+            for enc2 in (False, True):
+                prog = EvaProgram("Mixed", vec_size=128)
+                with prog:
+                    x1 = Input("x1", enc1)
+                    x2 = Input("x2", enc2)
+                    Output("y", pow(x2, 3) + x1 * x2)
+                prog.set_output_ranges(20)
+                prog.set_input_scales(30)
+                compile_and_check(prog, he=False)
+
+    def test_transparent_result(self):
+        prog = EvaProgram("Transparent", vec_size=64)
+        with prog:
+            x = Input("x")
+            Output("y", x - x + x * 0)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, he=False)
+
+    def test_constant_only_output(self):
+        prog = EvaProgram("Const", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", x * 0 + 7)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, he=False)
+
+
+class TestSecurityLevels:
+    def test_degree_selection(self):
+        from eva_tpu.ckks.params import min_degree_for_bit_count
+        assert min_degree_for_bit_count(128, False, 100) == 4096
+        assert min_degree_for_bit_count(128, False, 218) == 8192
+        assert min_degree_for_bit_count(128, False, 219) == 16384
+        assert min_degree_for_bit_count(192, False, 100) == 8192
+        assert min_degree_for_bit_count(128, True, 219) == 16384
+
+    def test_all_levels_compile(self):
+        for sec in ("128", "192", "256"):
+            for quantum in ("false", "true"):
+                prog = EvaProgram("Sec", vec_size=512)
+                with prog:
+                    x = Input("x")
+                    Output("y", 5 * x * x + 3 * x + x << 12 + 10)
+                prog.set_output_ranges(20)
+                prog.set_input_scales(30)
+                compile_and_check(
+                    prog, he=False,
+                    config={"security_level": sec, "quantum_safe": quantum})
+
+    def test_unsupported_security_level(self):
+        prog = EvaProgram("Sec", vec_size=512)
+        with prog:
+            x = Input("x")
+            Output("y", x * x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        with pytest.raises(RuntimeError):
+            CKKSCompiler(config={"security_level": "1024",
+                                 "warn_vec_size": "false"}).compile(prog)
+
+    def test_missing_input_scale_errors(self):
+        prog = EvaProgram("NoScale", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", x * x)
+        prog.set_output_ranges(20)
+        with pytest.raises(RuntimeError, match="scale for input"):
+            CKKSCompiler(config={"warn_vec_size": "false"}).compile(prog)
+
+
+class TestStd:
+    def test_horizontal_sum_compiles(self):
+        from eva_tpu.std.numeric import horizontal_sum
+        for enc in (True, False):
+            prog = EvaProgram("HSum", vec_size=64)
+            with prog:
+                x = Input("x", is_encrypted=enc)
+                Output("y", horizontal_sum(x))
+            prog.set_output_ranges(25)
+            prog.set_input_scales(33)
+            compile_and_check(prog, he=False)
+
+        prog = EvaProgram("HSumConst", vec_size=64)
+        with prog:
+            from eva_tpu.std.numeric import horizontal_sum as hs
+            Output("y", hs([1 for _ in range(prog.vec_size)]))
+        prog.set_output_ranges(25)
+        prog.set_input_scales(33)
+        compile_and_check(prog, he=False)
