@@ -1,0 +1,38 @@
+"""Ciphertext / plaintext value objects for the CKKS runtime.
+
+A ciphertext holds 2 (or 3, pre-relinearization) polynomials as stacked
+RNS residue planes of shape [n_subprimes, N] in uint64 (numpy backend) or
+uint32 pairs (device backend). Polynomials are NTT(evaluation)-domain
+resident between ops. `scale` is the TRUE scale (float), not the
+compiler's nominal 2^bits bookkeeping (see crypto/__init__ docstring);
+`level` counts dropped abstract chain entries, matching the compiler's
+level semantics (reference: eva/seal/seal.cpp:59-62 walks the context
+chain the same way)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+import numpy as np
+
+
+@dataclass
+class Ciphertext:
+    polys: List[np.ndarray]  # each [n_sub, N] uint64, NTT domain
+    level: int
+    scale: float
+
+    @property
+    def size(self) -> int:
+        return len(self.polys)
+
+    def copy(self) -> "Ciphertext":
+        return Ciphertext([p.copy() for p in self.polys], self.level, self.scale)
+
+
+@dataclass
+class Plaintext:
+    poly: np.ndarray  # [n_sub, N] uint64, NTT domain
+    level: int
+    scale: float

@@ -1,0 +1,195 @@
+"""CKKS context: RNS chain, NTT tables, automorphism permutations, and the
+polynomial-level primitive operations shared by keygen and the evaluator.
+
+Replaces seal::SEALContext + the RNS tool parts of seal::Evaluator
+(reference surface: SURVEY.md §2.8). Per-level parameters are views over
+the flat sub-prime list; levels drop whole abstract entries from the end
+of the data chain, exactly like SEAL's context chain walks
+first_context_data -> next_context_data (eva/seal/seal.cpp:59-62)."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .encoder import get_encoder
+from .ntt import get_table
+from .primes import ChainEntry, build_chain
+
+
+class CKKSContext:
+    def __init__(self, prime_bits: Sequence[int], rotations: Sequence[int],
+                 poly_modulus_degree: int):
+        self.n = int(poly_modulus_degree)
+        self.prime_bits = list(prime_bits)
+        self.rotations = sorted(rotations)
+        self.chain: List[ChainEntry] = build_chain(self.prime_bits, self.n)
+        self.key_entry = self.chain[-1]
+        self.data_entries = self.chain[:-1]
+        self.data_primes: List[int] = [q for e in self.data_entries for q in e.primes]
+        self.key_primes: List[int] = list(self.key_entry.primes)
+        self.all_primes: List[int] = self.data_primes + self.key_primes
+        self.encoder = get_encoder(self.n)
+        self._perm_cache: Dict[int, np.ndarray] = {}
+        # Precompute per-entry prime row offsets into the flat data layout.
+        self._entry_offsets = []
+        off = 0
+        for e in self.data_entries:
+            self._entry_offsets.append(off)
+            off += len(e.primes)
+
+    # -- level bookkeeping ---------------------------------------------------
+
+    def entries_at_level(self, level: int) -> List[ChainEntry]:
+        assert 0 <= level < len(self.data_entries) + 1
+        return self.data_entries[:len(self.data_entries) - level]
+
+    def primes_at_level(self, level: int) -> List[int]:
+        return [q for e in self.entries_at_level(level) for q in e.primes]
+
+    def n_sub_at_level(self, level: int) -> int:
+        return len(self.primes_at_level(level))
+
+    @property
+    def max_level(self) -> int:
+        return len(self.data_entries) - 1
+
+    # -- NTT over stacked limbs ----------------------------------------------
+
+    def ntt(self, arr: np.ndarray, primes: Sequence[int]) -> np.ndarray:
+        out = np.empty_like(arr)
+        for i, q in enumerate(primes):
+            out[i] = get_table(q, self.n).ntt(arr[i])
+        return out
+
+    def intt(self, arr: np.ndarray, primes: Sequence[int]) -> np.ndarray:
+        out = np.empty_like(arr)
+        for i, q in enumerate(primes):
+            out[i] = get_table(q, self.n).intt(arr[i])
+        return out
+
+    # -- dyadic modular arithmetic over stacked limbs ------------------------
+
+    @staticmethod
+    def qvec(primes: Sequence[int]) -> np.ndarray:
+        return np.array(primes, dtype=np.uint64)[:, None]
+
+    def add(self, a, b, primes):
+        return (a + b) % self.qvec(primes)
+
+    def sub(self, a, b, primes):
+        q = self.qvec(primes)
+        return (a + q - b) % q
+
+    def mul(self, a, b, primes):
+        return (a * b) % self.qvec(primes)
+
+    def neg(self, a, primes):
+        q = self.qvec(primes)
+        return (q - a) % q
+
+    # -- Galois automorphisms ------------------------------------------------
+
+    def galois_elt(self, step: int) -> int:
+        """Galois element for a left-rotation by `step` slots: 5^step mod 2N."""
+        order = self.n // 2
+        return pow(5, step % order, 2 * self.n)
+
+    def perm_for_elt(self, g: int) -> np.ndarray:
+        """NTT-domain permutation: out[t] = in[perm[t]] applies X -> X^g."""
+        if g not in self._perm_cache:
+            two_n = 2 * self.n
+            t = np.arange(self.n, dtype=np.int64)
+            self._perm_cache[g] = (((2 * t + 1) * g) % two_n - 1) // 2
+        return self._perm_cache[g]
+
+    def apply_automorphism(self, arr: np.ndarray, g: int) -> np.ndarray:
+        """Permute NTT-domain limb planes [n_sub, N]."""
+        return arr[:, self.perm_for_elt(g)]
+
+    # -- RNS rescale (exact divide-and-round by one sub-prime) ---------------
+
+    def divide_by_subprime(self, coeffs: np.ndarray, primes: List[int]) -> np.ndarray:
+        """Drop the last limb and divide by its prime with rounding.
+
+        coeffs: [n_sub, N] COEFFICIENT domain. Returns [n_sub-1, N].
+        y_i = (x_i - centered([x]_p)) * p^-1 mod q_i."""
+        p = primes[-1]
+        rest = primes[:-1]
+        last = coeffs[-1].astype(np.int64)
+        centered = np.where(last > p // 2, last - p, last)  # int64, |.| <= p/2
+        out = np.empty((len(rest), self.n), dtype=np.uint64)
+        for i, q in enumerate(rest):
+            p_inv = pow(p % q, q - 2, q)
+            diff = (coeffs[i].astype(np.int64) - centered) % q
+            out[i] = (diff.astype(np.uint64) * np.uint64(p_inv)) % np.uint64(q)
+        return out
+
+    def rescale_entry(self, coeffs: np.ndarray, level: int) -> np.ndarray:
+        """Divide coefficient-domain residues by the last entry at `level`."""
+        primes = self.primes_at_level(level)
+        entry = self.entries_at_level(level)[-1]
+        for _ in entry.primes:
+            coeffs = self.divide_by_subprime(coeffs, primes)
+            primes = primes[:-1]
+        return coeffs
+
+    # -- CRT digit extraction for key switching ------------------------------
+
+    @staticmethod
+    def crt_combine_entry(residues: np.ndarray, entry: ChainEntry) -> np.ndarray:
+        """Combine an entry's residue rows into integer values < entry.product.
+
+        residues: [len(entry.primes), N] uint64 (coefficient domain).
+        Products stay below 2^62 so uint64 arithmetic is exact."""
+        if len(entry.primes) == 1:
+            return residues[0].astype(np.uint64)
+        p_a, p_b = entry.primes
+        inv = pow(p_a % p_b, p_b - 2, p_b)
+        x_a = residues[0]
+        x_b = residues[1]
+        t = ((x_b + np.uint64(p_b) - x_a % np.uint64(p_b)) * np.uint64(inv)) % np.uint64(p_b)
+        return x_a + np.uint64(p_a) * t
+
+    def decompose_digits(self, coeffs: np.ndarray, level: int,
+                         basis: List[int]) -> List[np.ndarray]:
+        """Per-abstract-entry gadget digits, broadcast into `basis` residues.
+
+        coeffs: [n_sub, N] coefficient domain at `level`. Returns one
+        [len(basis), N] array per current entry (coefficient domain)."""
+        digits = []
+        for j, entry in enumerate(self.entries_at_level(level)):
+            off = self._entry_offsets[j]
+            v = self.crt_combine_entry(coeffs[off:off + len(entry.primes)], entry)
+            d = np.empty((len(basis), self.n), dtype=np.uint64)
+            for i, q in enumerate(basis):
+                d[i] = v % np.uint64(q)
+            digits.append(d)
+        return digits
+
+    # -- division by the key-prime product P (key-switch epilogue) -----------
+
+    def divide_by_key_product(self, coeffs_ext: np.ndarray,
+                              primes: List[int]) -> np.ndarray:
+        """coeffs_ext: [n_cur + n_key, N] coefficient domain (current basis
+        then key basis). Returns [n_cur, N]: round(x / P) mod current."""
+        n_cur = len(primes)
+        key = self.key_primes
+        P = self.key_entry.product
+        x_key = coeffs_ext[n_cur:]
+        # Exact CRT of the key-limb residues to integers < P, then center.
+        v = self.crt_combine_entry(x_key, self.key_entry).astype(np.int64)
+        centered = np.where(v > P // 2, v - P, v)
+        out = np.empty((n_cur, self.n), dtype=np.uint64)
+        for i, q in enumerate(primes):
+            P_inv = pow(P % q, q - 2, q)
+            diff = (coeffs_ext[i].astype(np.int64) - centered) % q
+            out[i] = (diff.astype(np.uint64) * np.uint64(P_inv)) % np.uint64(q)
+        return out
+
+
+@lru_cache(maxsize=8)
+def get_context(prime_bits: tuple, rotations: tuple, degree: int) -> CKKSContext:
+    return CKKSContext(list(prime_bits), list(rotations), degree)

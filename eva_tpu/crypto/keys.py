@@ -1,0 +1,206 @@
+"""Key generation, encryption, decryption.
+
+Replaces seal::KeyGenerator / Encryptor / Decryptor (reference call sites
+eva/seal/seal.cpp:174-203, 24-102, 124-146).
+
+Secret key: uniform ternary. Errors: centered gaussian sigma=3.2 rounded.
+Randomness is seeded from the OS CSPRNG (`secrets`) — never from JAX's
+PRNG (keys are host-side secrets; SURVEY.md §7 hard part 6).
+
+Key-switching keys use per-abstract-entry gadget digits with the key
+entry (last abstract prime) as the hybrid special modulus P, mirroring
+SEAL's one-special-prime design at the abstract level while each digit
+and P decompose into machine sub-primes underneath."""
+
+from __future__ import annotations
+
+import secrets
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .ciphertext import Ciphertext, Plaintext
+from .context import CKKSContext
+
+ERROR_STDDEV = 3.2
+
+
+def _rng() -> np.random.Generator:
+    return np.random.default_rng(secrets.randbits(128))
+
+
+def _small_poly_residues(ctx: CKKSContext, coeffs: np.ndarray,
+                         primes: Sequence[int]) -> np.ndarray:
+    """Signed small coefficients -> NTT-domain residue planes."""
+    out = np.empty((len(primes), ctx.n), dtype=np.uint64)
+    for i, q in enumerate(primes):
+        out[i] = (coeffs % q).astype(np.uint64)
+    return ctx.ntt(out, list(primes))
+
+
+class SecretKey:
+    def __init__(self, ctx: CKKSContext, coeffs: np.ndarray):
+        self.coeffs = coeffs  # ternary int64 [N]
+        # NTT residues over the full basis (data + key primes).
+        self.s = _small_poly_residues(ctx, coeffs, ctx.all_primes)
+
+    def rows(self, ctx: CKKSContext, primes: List[int]) -> np.ndarray:
+        idx = [ctx.all_primes.index(q) for q in primes]
+        return self.s[idx]
+
+
+class PublicKey:
+    def __init__(self, b: np.ndarray, a: np.ndarray):
+        self.b = b  # [n_data, N] NTT
+        self.a = a
+
+
+class KSwitchKey:
+    """One key per gadget digit: pairs (k0_j, k1_j) over data+key basis."""
+
+    def __init__(self, k0: List[np.ndarray], k1: List[np.ndarray]):
+        self.k0 = k0  # per digit: [n_all, N] NTT
+        self.k1 = k1
+
+
+class KeySet:
+    def __init__(self, ctx: CKKSContext, secret: SecretKey, public: PublicKey,
+                 relin: KSwitchKey, galois: Dict[int, KSwitchKey]):
+        self.ctx = ctx
+        self.secret = secret
+        self.public = public
+        self.relin = relin
+        self.galois = galois  # galois element -> key
+
+
+def _sample_error(ctx: CKKSContext, rng) -> np.ndarray:
+    return np.rint(rng.normal(0.0, ERROR_STDDEV, ctx.n)).astype(np.int64)
+
+
+def _sample_ternary(ctx: CKKSContext, rng) -> np.ndarray:
+    return rng.integers(-1, 2, ctx.n, dtype=np.int64)
+
+
+def _sample_uniform_ntt(ctx: CKKSContext, primes: List[int], rng) -> np.ndarray:
+    out = np.empty((len(primes), ctx.n), dtype=np.uint64)
+    for i, q in enumerate(primes):
+        out[i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
+    return out  # uniform residues are uniform in either domain
+
+
+def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
+                      rng) -> KSwitchKey:
+    """Encrypt P * g_j * target under s, digit-wise over the full basis.
+
+    target_ntt: [n_all, N] NTT-domain residues of the key being switched
+    FROM (s^2 for relinearization, sigma_g(s) for rotations)."""
+    basis = ctx.all_primes
+    P = ctx.key_entry.product
+    Q = 1
+    for e in ctx.data_entries:
+        Q *= e.product
+    s_rows = s.s  # full basis
+    k0, k1 = [], []
+    for j, entry in enumerate(ctx.data_entries):
+        Qj = entry.product
+        Qhat = Q // Qj
+        g_j = Qhat * pow(Qhat % Qj, _totient_inv_exp(entry), Qj)
+        factor = (P * g_j)
+        a = _sample_uniform_ntt(ctx, basis, rng)
+        e_ntt = _small_poly_residues(ctx, _sample_error(ctx, rng), basis)
+        qv = ctx.qvec(basis)
+        fac = np.array([factor % q for q in basis], dtype=np.uint64)[:, None]
+        b = (qv - (a * s_rows) % qv + e_ntt + (fac * target_ntt) % qv) % qv
+        k0.append(b)
+        k1.append(a)
+    return KSwitchKey(k0, k1)
+
+
+def _totient_inv_exp(entry) -> int:
+    """Exponent for modular inverse mod entry.product (CRT of prime powers):
+    for a product of distinct primes, lambda = lcm(p_i - 1)."""
+    lam = 1
+    for p in entry.primes:
+        g = np.gcd(lam, p - 1)
+        lam = lam // int(g) * (p - 1)
+    return lam - 1
+
+
+def generate_keys(ctx: CKKSContext) -> KeySet:
+    rng = _rng()
+    s = SecretKey(ctx, _sample_ternary(ctx, rng))
+
+    # Public key over the data basis.
+    a = _sample_uniform_ntt(ctx, ctx.data_primes, rng)
+    e = _small_poly_residues(ctx, _sample_error(ctx, rng), ctx.data_primes)
+    qv = ctx.qvec(ctx.data_primes)
+    s_data = s.rows(ctx, ctx.data_primes)
+    b = (qv - (a * s_data) % qv + e) % qv
+    public = PublicKey(b, a)
+
+    # Relinearization key: s^2 -> s.
+    s2 = (s.s * s.s) % ctx.qvec(ctx.all_primes)
+    relin = _make_kswitch_key(ctx, s, s2, rng)
+
+    # Galois keys, one per rotation step.
+    galois: Dict[int, KSwitchKey] = {}
+    for step in ctx.rotations:
+        g = ctx.galois_elt(step)
+        if g in galois:
+            continue
+        s_g = ctx.apply_automorphism(s.s, g)
+        galois[g] = _make_kswitch_key(ctx, s, s_g, rng)
+    return KeySet(ctx, s, public, relin, galois)
+
+
+# -- encrypt / decrypt -------------------------------------------------------
+
+
+def encrypt(ctx: CKKSContext, keys: KeySet, values: Sequence[float],
+            scale: float, level: int) -> Ciphertext:
+    pt = encode(ctx, values, scale, level)
+    return encrypt_plain(ctx, keys, pt)
+
+
+def encode(ctx: CKKSContext, values: Sequence[float], scale: float,
+           level: int) -> Plaintext:
+    """Replicate values to the slot count and encode at `scale`, `level`."""
+    slots = ctx.n // 2
+    v = np.asarray(values, dtype=np.float64)
+    if len(v) != slots:
+        assert slots % len(v) == 0, "vector size must divide slot count"
+        v = np.tile(v, slots // len(v))
+    primes = ctx.primes_at_level(level)
+    coeffs = ctx.encoder.values_to_coeffs(v, scale)
+    residues = ctx.encoder.coeffs_to_residues(coeffs, primes)
+    return Plaintext(ctx.ntt(residues, primes), level, float(scale))
+
+
+def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
+    rng = _rng()
+    primes = ctx.primes_at_level(pt.level)
+    n_sub = len(primes)
+    qv = ctx.qvec(primes)
+    u = _small_poly_residues(ctx, _sample_ternary(ctx, rng), primes)
+    e0 = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
+    e1 = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
+    b = keys.public.b[:n_sub]
+    a = keys.public.a[:n_sub]
+    c0 = ((b * u) % qv + e0 + pt.poly) % qv
+    c1 = ((a * u) % qv + e1) % qv
+    return Ciphertext([c0, c1], pt.level, pt.scale)
+
+
+def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:
+    """Decrypt and decode to float slot values (length N/2)."""
+    primes = ctx.primes_at_level(ct.level)
+    qv = ctx.qvec(primes)
+    s_rows = keys.secret.rows(ctx, primes)
+    acc = ct.polys[0].copy()
+    s_pow = s_rows
+    for c in ct.polys[1:]:
+        acc = (acc + (c * s_pow) % qv) % qv
+        s_pow = (s_pow * s_rows) % qv
+    coeffs_res = ctx.intt(acc, primes)
+    coeffs = ctx.encoder.residues_to_coeffs(coeffs_res, primes)
+    return ctx.encoder.coeffs_to_values(coeffs, ct.scale)

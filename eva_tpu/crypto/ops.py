@@ -1,0 +1,187 @@
+"""Homomorphic evaluator operations on ciphertexts (numpy backend).
+
+The op set mirrors what the reference's executor invokes on
+seal::Evaluator (reference eva/seal/seal_executor.h:114-215): add,
+add_plain, sub, sub_plain, multiply, square, multiply_plain,
+rotate_vector, negate, relinearize, mod_switch_to_next, rescale_to_next.
+
+Scale semantics: TRUE scales are tracked (floats) — rescale divides the
+scale by the actual prime product dropped, not by 2^bits. This removes
+the systematic drift SEAL's forced-scale bookkeeping leaves in
+(seal_executor.h:209-215) while keeping the compiler's integer model."""
+
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from .ciphertext import Ciphertext, Plaintext
+from .context import CKKSContext
+from .keys import KeySet, KSwitchKey
+
+
+def _check_align(a: Ciphertext, b) -> None:
+    assert a.level == b.level, f"level mismatch {a.level} vs {b.level}"
+
+
+def add(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_align(a, b)
+    primes = ctx.primes_at_level(a.level)
+    n = max(a.size, b.size)
+    polys = []
+    for i in range(n):
+        if i < a.size and i < b.size:
+            polys.append(ctx.add(a.polys[i], b.polys[i], primes))
+        else:
+            polys.append((a.polys[i] if i < a.size else b.polys[i]).copy())
+    return Ciphertext(polys, a.level, a.scale)
+
+
+def sub(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    _check_align(a, b)
+    primes = ctx.primes_at_level(a.level)
+    n = max(a.size, b.size)
+    polys = []
+    for i in range(n):
+        if i < a.size and i < b.size:
+            polys.append(ctx.sub(a.polys[i], b.polys[i], primes))
+        elif i < a.size:
+            polys.append(a.polys[i].copy())
+        else:
+            polys.append(ctx.neg(b.polys[i], primes))
+    return Ciphertext(polys, a.level, a.scale)
+
+
+def add_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
+    _check_align(a, p)
+    primes = ctx.primes_at_level(a.level)
+    polys = [ctx.add(a.polys[0], p.poly, primes)] + [c.copy() for c in a.polys[1:]]
+    return Ciphertext(polys, a.level, a.scale)
+
+
+def sub_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
+    _check_align(a, p)
+    primes = ctx.primes_at_level(a.level)
+    polys = [ctx.sub(a.polys[0], p.poly, primes)] + [c.copy() for c in a.polys[1:]]
+    return Ciphertext(polys, a.level, a.scale)
+
+
+def negate(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
+    primes = ctx.primes_at_level(a.level)
+    return Ciphertext([ctx.neg(c, primes) for c in a.polys], a.level, a.scale)
+
+
+def multiply(ctx: CKKSContext, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+    """Tensor product: (a0,a1) x (b0,b1) -> (a0b0, a0b1+a1b0, a1b1)."""
+    _check_align(a, b)
+    assert a.size == 2 and b.size == 2, "relinearize before further multiplies"
+    primes = ctx.primes_at_level(a.level)
+    c0 = ctx.mul(a.polys[0], b.polys[0], primes)
+    mid = ctx.add(ctx.mul(a.polys[0], b.polys[1], primes),
+                  ctx.mul(a.polys[1], b.polys[0], primes), primes)
+    c2 = ctx.mul(a.polys[1], b.polys[1], primes)
+    return Ciphertext([c0, mid, c2], a.level, a.scale * b.scale)
+
+
+def square(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
+    return multiply(ctx, a, a)
+
+
+def multiply_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
+    _check_align(a, p)
+    primes = ctx.primes_at_level(a.level)
+    polys = [ctx.mul(c, p.poly, primes) for c in a.polys]
+    return Ciphertext(polys, a.level, a.scale * p.scale)
+
+
+# -- key switching -----------------------------------------------------------
+
+
+def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
+                ksk: KSwitchKey):
+    """Switch one NTT-domain polynomial to the secret key the ksk targets.
+
+    Returns (d0, d1): NTT-domain [n_cur, N] planes to be added to the
+    ciphertext. Pipeline: iNTT -> per-entry CRT digits -> NTT in extended
+    basis -> inner product with key -> iNTT -> divide by P -> NTT."""
+    primes = ctx.primes_at_level(level)
+    n_cur = len(primes)
+    basis = primes + ctx.key_primes
+    qv_ext = ctx.qvec(basis)
+
+    coeffs = ctx.intt(poly_ntt, primes)
+    digits = ctx.decompose_digits(coeffs, level, basis)
+
+    acc0 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
+    acc1 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
+    key_rows = [len(ctx.data_primes) + i for i in range(len(ctx.key_primes))]
+    row_idx = list(range(n_cur)) + key_rows
+    for j, d in enumerate(digits):
+        d_ntt = ctx.ntt(d, basis)
+        k0 = ksk.k0[j][row_idx]
+        k1 = ksk.k1[j][row_idx]
+        acc0 = (acc0 + (d_ntt * k0) % qv_ext) % qv_ext
+        acc1 = (acc1 + (d_ntt * k1) % qv_ext) % qv_ext
+
+    d0 = ctx.ntt(ctx.divide_by_key_product(ctx.intt(acc0, basis), primes), primes)
+    d1 = ctx.ntt(ctx.divide_by_key_product(ctx.intt(acc1, basis), primes), primes)
+    return d0, d1
+
+
+def relinearize(ctx: CKKSContext, keys: KeySet, a: Ciphertext) -> Ciphertext:
+    if a.size == 2:
+        return a.copy()
+    assert a.size == 3
+    primes = ctx.primes_at_level(a.level)
+    d0, d1 = _key_switch(ctx, a.polys[2], a.level, keys.relin)
+    return Ciphertext([
+        ctx.add(a.polys[0], d0, primes),
+        ctx.add(a.polys[1], d1, primes),
+    ], a.level, a.scale)
+
+
+def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int) -> Ciphertext:
+    """Rotate slots left by `steps` (negative: right)."""
+    assert a.size == 2, "relinearize before rotating"
+    if steps % (ctx.n // 2) == 0:
+        return a.copy()
+    g = ctx.galois_elt(steps)
+    assert g in keys.galois, f"no galois key for step {steps} (elt {g})"
+    primes = ctx.primes_at_level(a.level)
+    c0 = ctx.apply_automorphism(a.polys[0], g)
+    c1 = ctx.apply_automorphism(a.polys[1], g)
+    d0, d1 = _key_switch(ctx, c1, a.level, keys.galois[g])
+    return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
+
+
+# -- level changes ------------------------------------------------------------
+
+
+def rescale(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
+    """Drop the last abstract entry, dividing values by its prime product."""
+    primes = ctx.primes_at_level(a.level)
+    entry = ctx.entries_at_level(a.level)[-1]
+    new_primes = primes[:len(primes) - len(entry.primes)]
+    polys = []
+    for c in a.polys:
+        coeffs = ctx.intt(c, primes)
+        coeffs = ctx.rescale_entry(coeffs, a.level)
+        polys.append(ctx.ntt(coeffs, new_primes))
+    return Ciphertext(polys, a.level + 1, a.scale / entry.product)
+
+
+def mod_switch(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
+    """Drop the last abstract entry without scaling (valid because the
+    decryption relation reduces modulo any divisor of Q)."""
+    primes = ctx.primes_at_level(a.level)
+    entry = ctx.entries_at_level(a.level)[-1]
+    keep = len(primes) - len(entry.primes)
+    return Ciphertext([c[:keep].copy() for c in a.polys], a.level + 1, a.scale)
+
+
+def mod_switch_plain(ctx: CKKSContext, p: Plaintext) -> Plaintext:
+    primes = ctx.primes_at_level(p.level)
+    entry = ctx.entries_at_level(p.level)[-1]
+    keep = len(primes) - len(entry.primes)
+    return Plaintext(p.poly[:keep].copy(), p.level + 1, p.scale)

@@ -1,0 +1,116 @@
+"""Execution runtime: key generation, encryption contexts, and the graph
+executor. Replaces the reference's eva/seal/ layer (SEALPublic/SEALSecret/
+SEALValuation/generateKeys; reference eva/seal/seal.h:21-92).
+
+`generate_keys(params)` returns (EVAPublic, EVASecret). EVAPublic encrypts
+inputs and executes compiled programs; EVASecret decrypts outputs. The
+`backend` argument selects the execution engine: "numpy" (exact host
+reference) or "jax" (XLA/Pallas compute path)."""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Union
+
+import numpy as np
+
+from ..ckks.params import CKKSParameters, CKKSSignature
+from ..ir import Type
+from ..crypto import keys as _keys
+from ..crypto.ciphertext import Ciphertext, Plaintext
+from ..crypto.context import CKKSContext, get_context
+from .executor import Executor
+
+__all__ = ["generate_keys", "EVAPublic", "EVASecret", "EVAValuation"]
+
+
+class EVAValuation(dict):
+    """Named bundle of encrypted/plain/raw values plus its parameters."""
+
+    def __init__(self, params: CKKSParameters, values: Dict = None):
+        super().__init__(values or {})
+        self.params = params
+
+
+class EVAPublic:
+    """Public context: encrypt + execute. Holds no secret material."""
+
+    def __init__(self, ctx: CKKSContext, keys: "_keys.KeySet",
+                 params: CKKSParameters, backend: Optional[str] = None):
+        self.ctx = ctx
+        self._keys = keys
+        self.params = params
+        self.backend = backend or "numpy"
+
+    def encrypt(self, inputs: Dict[str, Sequence[float]],
+                signature: CKKSSignature) -> EVAValuation:
+        slots = self.ctx.n // 2
+        if slots < signature.vec_size:
+            raise RuntimeError("Vector size cannot be larger than slot count")
+        if slots % signature.vec_size != 0:
+            raise RuntimeError("Vector size must exactly divide the slot count")
+        out = EVAValuation(self.params)
+        for name, values in inputs.items():
+            if len(values) != signature.vec_size:
+                raise RuntimeError(
+                    f"Input {name} size {len(values)} does not match program "
+                    f"vector size {signature.vec_size}")
+            info = signature.inputs[name]
+            if info.input_type == Type.Cipher:
+                out[name] = _keys.encrypt(
+                    self.ctx, self._keys, values, 2.0 ** info.scale, info.level)
+            elif info.input_type == Type.Plain:
+                out[name] = _keys.encode(
+                    self.ctx, values, 2.0 ** info.scale, info.level)
+            else:  # Raw: plain doubles, never encoded
+                out[name] = np.asarray(values, dtype=np.float64)
+        return out
+
+    def execute(self, program, inputs: EVAValuation) -> EVAValuation:
+        executor = Executor(program, self.ctx, self._keys, backend=self.backend)
+        outputs = executor.run(inputs)
+        return EVAValuation(self.params, outputs)
+
+
+class EVASecret:
+    """Secret context: decryption.
+
+    WARNING: holds the secret key; never share it (or its serialized
+    form) with the evaluating party."""
+
+    def __init__(self, ctx: CKKSContext, keys: "_keys.KeySet",
+                 params: CKKSParameters):
+        self.ctx = ctx
+        self._keys = keys
+        self.params = params
+
+    def decrypt(self, enc_outputs: EVAValuation,
+                signature: CKKSSignature) -> Dict[str, list]:
+        outputs = {}
+        for name, value in enc_outputs.items():
+            if isinstance(value, Ciphertext):
+                slots = _keys.decrypt(self.ctx, self._keys, value)
+                outputs[name] = [float(v) for v in slots[:signature.vec_size]]
+            elif isinstance(value, Plaintext):
+                primes = self.ctx.primes_at_level(value.level)
+                coeffs = self.ctx.encoder.residues_to_coeffs(
+                    self.ctx.intt(value.poly, primes), primes)
+                slots = self.ctx.encoder.coeffs_to_values(coeffs, value.scale)
+                outputs[name] = [float(v) for v in slots[:signature.vec_size]]
+            else:  # raw numpy vector
+                vals = np.asarray(value, dtype=np.float64)
+                reps = max(1, signature.vec_size // len(vals))
+                outputs[name] = [float(v) for v in np.tile(vals, reps)[:signature.vec_size]]
+        return outputs
+
+
+def generate_keys(params: CKKSParameters, backend: Optional[str] = None):
+    """CKKSParameters -> (EVAPublic, EVASecret).
+
+    Reference: eva/seal/seal.cpp:174-203 (generateKeys): builds the RNS
+    chain, samples the ternary secret, RLWE public key, relinearization
+    key, and one Galois key per rotation step."""
+    ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
+                      params.poly_modulus_degree)
+    keys = _keys.generate_keys(ctx)
+    return (EVAPublic(ctx, keys, params, backend=backend),
+            EVASecret(ctx, keys, params))

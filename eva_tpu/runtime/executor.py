@@ -1,0 +1,253 @@
+"""Graph executor for compiled programs.
+
+Replaces the reference's SEALExecutor (eva/seal/seal_executor.h:31-436):
+a forward topological walk dispatching each term's op to ciphertext
+kernels, with Raw subgraphs computed on plain doubles.
+
+Two phases:
+  1. PLAN (data-free): compute each term's level and TRUE scale. Plaintext
+     encodes are scheduled at the exact scale their consumer needs
+     (add partners take the cipher's true scale; see crypto/__init__
+     docstring for why true-scale tracking replaces SEAL's forced-scale
+     bookkeeping). At cipher+cipher additions with a small planned scale
+     mismatch, the mismatch is back-propagated into the nearest upstream
+     single-use plaintext multiplication, making the addition exact.
+  2. EXECUTE: run the ops (numpy kernels here; the JAX backend compiles
+     the same plan into a single XLA program — see eva_tpu/backend)."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..crypto import keys as K, ops as O
+from ..crypto.ciphertext import Ciphertext, Plaintext
+from ..crypto.context import CKKSContext
+from ..ir import (CONSTANT_VALUE, ENCODE_AT_LEVEL, ENCODE_AT_SCALE, ROTATION,
+                  Op, Program, Term, TermMap, Type)
+from ..passes import TypeDeducer
+from ..traversal import ProgramTraversal
+
+
+class TermPlan:
+    __slots__ = ("level", "scale")
+
+    def __init__(self, level: int, scale: float):
+        self.level = level
+        self.scale = scale
+
+
+class Executor:
+    def __init__(self, program: Program, ctx: CKKSContext, keys: K.KeySet,
+                 backend: str = "numpy"):
+        self.program = program
+        self.ctx = ctx
+        self.keys = keys
+        self.backend = backend
+        self.types = TermMap(Type.Undef)
+        ProgramTraversal(program).forward_pass(TypeDeducer(program, self.types))
+        self.order = program.topological_order()
+        self.plan: Dict[int, TermPlan] = {}
+        self._make_plan()
+
+    # -- planning ------------------------------------------------------------
+
+    def _entry_product_at(self, level: int) -> int:
+        return self.ctx.entries_at_level(level)[-1].product
+
+    def _make_plan(self) -> None:
+        plan = self.plan
+        for term in self.order:
+            op = term.op
+            if self.types[term] == Type.Raw:
+                continue
+            if op == Op.Input:
+                plan[term.index] = TermPlan(
+                    term.get_attr(ENCODE_AT_LEVEL),
+                    2.0 ** term.get_attr(ENCODE_AT_SCALE))
+            elif op == Op.Encode:
+                plan[term.index] = TermPlan(
+                    term.get_attr(ENCODE_AT_LEVEL),
+                    2.0 ** term.get_attr(ENCODE_AT_SCALE))
+            elif op == Op.Constant:
+                continue  # raw until encoded
+            elif op == Op.Mul:
+                p0 = plan[term.operands[0].index]
+                p1 = plan[term.operands[1].index]
+                plan[term.index] = TermPlan(p0.level, p0.scale * p1.scale)
+            elif op in (Op.Add, Op.Sub):
+                self._plan_addition(term)
+            elif op == Op.Rescale:
+                p0 = plan[term.operands[0].index]
+                plan[term.index] = TermPlan(
+                    p0.level + 1, p0.scale / self._entry_product_at(p0.level))
+            elif op == Op.ModSwitch:
+                p0 = plan[term.operands[0].index]
+                plan[term.index] = TermPlan(p0.level + 1, p0.scale)
+            else:  # Negate, rotations, Relinearize, Output
+                p0 = plan[term.operands[0].index]
+                plan[term.index] = TermPlan(p0.level, p0.scale)
+
+    def _plan_addition(self, term: Term) -> None:
+        plan = self.plan
+        cipherish = [o for o in term.operands if self.types[o] != Type.Raw]
+        # An Encode partner adopts the other operand's true scale exactly.
+        for i, o in enumerate(term.operands):
+            if o.op == Op.Encode and len(o.uses) == 1:
+                other = term.operands[1 - i]
+                if self.types[other] != Type.Raw:
+                    plan[o.index].scale = plan[other.index].scale
+        scales = [plan[o.index].scale for o in cipherish]
+        level = plan[cipherish[0].index].level
+        if len(scales) == 2 and scales[0] != scales[1]:
+            ratio = scales[0] / scales[1]
+            assert abs(math.log2(ratio)) < 0.5, (
+                f"addition scale mismatch too large: {scales}")
+            if not self._compensate(term.operands[1], ratio):
+                self._compensate(term.operands[0], 1.0 / ratio)
+        plan[term.index] = TermPlan(level, plan[cipherish[0].index].scale)
+
+    def _compensate(self, term: Term, ratio: float) -> bool:
+        """Scale `term`'s planned true scale by `ratio` by adjusting the
+        nearest upstream single-use plaintext encode. Walks single-use
+        chains of scale-linear ops; returns True on success."""
+        path: List[Term] = []
+        cur = term
+        for _ in range(64):
+            if len(cur.uses) > 1:
+                return False
+            path.append(cur)
+            if cur.op == Op.Mul:
+                enc = None
+                for o in cur.operands:
+                    if o.op == Op.Encode and len(o.uses) == 1:
+                        enc = o
+                if enc is not None:
+                    self.plan[enc.index].scale *= ratio
+                    for t in path:
+                        self.plan[t.index].scale *= ratio
+                    return True
+                # descend into the cipher operand
+                nxt = [o for o in cur.operands if self.types[o] != Type.Raw]
+                if len(nxt) != 1:
+                    return False
+                cur = nxt[0]
+            elif cur.op in (Op.Rescale, Op.ModSwitch, Op.Relinearize, Op.Negate):
+                cur = cur.operands[0]
+            else:
+                return False
+        return False
+
+    # -- execution -----------------------------------------------------------
+
+    def run(self, inputs: Dict) -> Dict:
+        values: Dict[int, object] = {}
+        ctx, keys = self.ctx, self.keys
+        vec_size = self.program.vec_size
+
+        for name, term in self.program.inputs.items():
+            if name in inputs:
+                values[term.index] = inputs[name]
+
+        for term in self.order:
+            op = term.op
+            if op == Op.Input:
+                if term.index not in values:
+                    raise RuntimeError("Missing input for program")
+                v = values[term.index]
+                if isinstance(v, Ciphertext):
+                    p = self.plan[term.index]
+                    # Align levels in case the valuation was encrypted fresh.
+                    while v.level < p.level:
+                        v = O.mod_switch(ctx, v)
+                    values[term.index] = v
+                continue
+            args = term.operands
+            if self.types[term] == Type.Raw:
+                values[term.index] = self._raw_op(term, values, vec_size)
+                continue
+            if op == Op.Constant:
+                values[term.index] = np.asarray(
+                    term.get_attr(CONSTANT_VALUE).expand(vec_size))
+                continue
+            if op == Op.Encode:
+                p = self.plan[term.index]
+                raw = np.asarray(values[args[0].index], dtype=np.float64)
+                values[term.index] = K.encode(ctx, raw, p.scale, p.level)
+                continue
+            if op in (Op.Add, Op.Sub, Op.Mul):
+                values[term.index] = self._binop(term, values)
+            elif op == Op.Negate:
+                values[term.index] = O.negate(ctx, values[args[0].index])
+            elif op == Op.RotateLeftConst:
+                values[term.index] = O.rotate(
+                    ctx, keys, values[args[0].index], term.get_attr(ROTATION))
+            elif op == Op.RotateRightConst:
+                values[term.index] = O.rotate(
+                    ctx, keys, values[args[0].index], -term.get_attr(ROTATION))
+            elif op == Op.Relinearize:
+                values[term.index] = O.relinearize(ctx, keys, values[args[0].index])
+            elif op == Op.ModSwitch:
+                v = values[args[0].index]
+                if isinstance(v, Plaintext):
+                    values[term.index] = O.mod_switch_plain(ctx, v)
+                else:
+                    values[term.index] = O.mod_switch(ctx, v)
+            elif op == Op.Rescale:
+                values[term.index] = O.rescale(ctx, values[args[0].index])
+            elif op == Op.Output:
+                values[term.index] = values[args[0].index]
+            else:
+                raise RuntimeError(f"Unhandled op {op.name}")
+
+        return {name: values[t.index] for name, t in self.program.outputs.items()}
+
+    def _binop(self, term: Term, values: Dict):
+        ctx = self.ctx
+        a = values[term.operands[0].index]
+        b = values[term.operands[1].index]
+        op = term.op
+        a_ct, b_ct = isinstance(a, Ciphertext), isinstance(b, Ciphertext)
+        if a_ct and b_ct:
+            same = term.operands[0] is term.operands[1]
+            if op == Op.Add:
+                return O.add(ctx, a, b)
+            if op == Op.Sub:
+                return O.sub(ctx, a, b)
+            return O.square(ctx, a) if same else O.multiply(ctx, a, b)
+        # cipher (+|-|*) plain
+        if not a_ct and b_ct:
+            if op == Op.Sub:
+                raise RuntimeError("plain - cipher should have been lowered")
+            a, b = b, a
+        assert isinstance(b, Plaintext), (
+            f"unencoded raw operand reached cipher op {op.name}")
+        if op == Op.Add:
+            return O.add_plain(ctx, a, b)
+        if op == Op.Sub:
+            return O.sub_plain(ctx, a, b)
+        return O.multiply_plain(ctx, a, b)
+
+    def _raw_op(self, term: Term, values: Dict, vec_size: int):
+        op = term.op
+        args = term.operands
+        get = lambda i: np.asarray(values[args[i].index], dtype=np.float64)
+        if op == Op.Constant:
+            return np.asarray(term.get_attr(CONSTANT_VALUE).expand(vec_size))
+        if op == Op.Add:
+            return get(0) + get(1)
+        if op == Op.Sub:
+            return get(0) - get(1)
+        if op == Op.Mul:
+            return get(0) * get(1)
+        if op == Op.Negate:
+            return -get(0)
+        if op == Op.RotateLeftConst:
+            return np.roll(get(0), -term.get_attr(ROTATION))
+        if op == Op.RotateRightConst:
+            return np.roll(get(0), term.get_attr(ROTATION))
+        if op == Op.Output:
+            return values[args[0].index]
+        raise RuntimeError(f"Unhandled raw op {op.name}")

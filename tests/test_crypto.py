@@ -1,0 +1,151 @@
+"""Unit tests for the CKKS crypto runtime (the SEAL replacement)."""
+
+import numpy as np
+import pytest
+
+from eva_tpu.crypto.context import CKKSContext
+from eva_tpu.crypto.ntt import get_table
+from eva_tpu.crypto.primes import build_chain, is_prime
+from eva_tpu.crypto import keys as K, ops as O
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    return CKKSContext([60, 30, 60, 60], [1, -2, 4], 2048)
+
+
+@pytest.fixture(scope="module")
+def keyset(ctx):
+    return K.generate_keys(ctx)
+
+
+class TestPrimes:
+    def test_chain_structure(self):
+        chain = build_chain([60, 20, 60, 60], 8192)
+        assert len(chain) == 4
+        flat = [q for e in chain for q in e.primes]
+        assert len(flat) == len(set(flat)), "sub-primes must be distinct"
+        for e in chain:
+            for q in e.primes:
+                assert is_prime(q)
+                assert q % (2 * 8192) == 1, "NTT-friendliness"
+                assert q < 2 ** 31
+
+    def test_pair_accuracy(self):
+        chain = build_chain([60], 8192)
+        e = chain[0]
+        rel = abs(e.product - 2 ** 60) / 2 ** 60
+        assert rel < 2 ** -18, f"pair product too far from 2^60: {rel}"
+
+
+class TestNTT:
+    def test_roundtrip_and_negacyclic(self):
+        q, n = 1073668097, 32
+        t = get_table(q, n)
+        rng = np.random.default_rng(0)
+        a = rng.integers(0, q, n, dtype=np.uint64)
+        b = rng.integers(0, q, n, dtype=np.uint64)
+        assert np.array_equal(t.intt(t.ntt(a)), a)
+        # negacyclic product against schoolbook
+        c = [0] * n
+        for i in range(n):
+            for j in range(n):
+                k = i + j
+                sgn = 1 if k < n else -1
+                c[k % n] = (c[k % n] + sgn * int(a[i]) * int(b[j])) % q
+        got = t.intt((t.ntt(a) * t.ntt(b)) % np.uint64(q))
+        assert np.array_equal(got, np.array(c, dtype=np.uint64))
+
+    def test_evaluation_ordering(self):
+        """X[t] must equal m(psi^(2t+1)) — the ordering the encoder and
+        automorphism permutations assume."""
+        q, n = 1073668097, 16
+        t = get_table(q, n)
+        a = np.arange(1, n + 1, dtype=np.uint64)
+        X = t.ntt(a)
+        for k in range(n):
+            val = sum(int(a[j]) * pow(t.psi, (2 * k + 1) * j, q)
+                      for j in range(n)) % q
+            assert val == int(X[k])
+
+
+class TestEncoder:
+    def test_roundtrip(self, ctx):
+        rng = np.random.default_rng(3)
+        v = rng.uniform(-2, 2, ctx.n // 2)
+        primes = ctx.primes_at_level(0)
+        coeffs = ctx.encoder.values_to_coeffs(v, 2.0 ** 40)
+        res = ctx.encoder.coeffs_to_residues(coeffs, primes)
+        back = ctx.encoder.coeffs_to_values(
+            ctx.encoder.residues_to_coeffs(res, primes), 2.0 ** 40)
+        assert np.max(np.abs(back - v)) < 1e-9
+
+    def test_automorphism_is_slot_rotation(self, ctx):
+        rng = np.random.default_rng(4)
+        v = rng.uniform(-2, 2, ctx.n // 2)
+        primes = ctx.primes_at_level(0)
+        pt = K.encode(ctx, v, 2.0 ** 40, 0)
+        for r in (1, 3, 100):
+            g = ctx.galois_elt(r)
+            rot = ctx.apply_automorphism(pt.poly, g)
+            dec = ctx.encoder.coeffs_to_values(
+                ctx.encoder.residues_to_coeffs(ctx.intt(rot, primes), primes),
+                pt.scale)
+            assert np.max(np.abs(dec - np.roll(v, -r))) < 1e-8
+
+
+class TestHomomorphicOps:
+    def _vals(self, ctx, seed):
+        return np.random.default_rng(seed).uniform(-2, 2, ctx.n // 2)
+
+    def test_enc_dec(self, ctx, keyset):
+        v = self._vals(ctx, 0)
+        ct = K.encrypt(ctx, keyset, v, 2.0 ** 45, 0)
+        assert np.max(np.abs(K.decrypt(ctx, keyset, ct) - v)) < 1e-6
+
+    def test_addsubneg(self, ctx, keyset):
+        v1, v2 = self._vals(ctx, 1), self._vals(ctx, 2)
+        c1 = K.encrypt(ctx, keyset, v1, 2.0 ** 45, 0)
+        c2 = K.encrypt(ctx, keyset, v2, 2.0 ** 45, 0)
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.add(ctx, c1, c2)) - (v1 + v2))) < 1e-5
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.sub(ctx, c1, c2)) - (v1 - v2))) < 1e-5
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.negate(ctx, c1)) + v1)) < 1e-5
+
+    def test_mul_relin_rescale(self, ctx, keyset):
+        v1, v2 = self._vals(ctx, 5), self._vals(ctx, 6)
+        c1 = K.encrypt(ctx, keyset, v1, 2.0 ** 45, 0)
+        c2 = K.encrypt(ctx, keyset, v2, 2.0 ** 45, 0)
+        prod = O.rescale(ctx, O.relinearize(ctx, keyset, O.multiply(ctx, c1, c2)))
+        assert prod.level == 1
+        assert np.max(np.abs(K.decrypt(ctx, keyset, prod) - v1 * v2)) < 1e-4
+        # true-scale tracking: scale is 2^90 / actual dropped product
+        expected = (2.0 ** 90) / ctx.entries_at_level(0)[-1].product
+        assert prod.scale == pytest.approx(expected)
+
+    def test_rotate(self, ctx, keyset):
+        v = self._vals(ctx, 7)
+        ct = K.encrypt(ctx, keyset, v, 2.0 ** 45, 0)
+        for step in (1, -2, 4):
+            got = K.decrypt(ctx, keyset, O.rotate(ctx, keyset, ct, step))
+            assert np.max(np.abs(got - np.roll(v, -step))) < 1e-4
+
+    def test_square_path(self, ctx, keyset):
+        v = self._vals(ctx, 8)
+        ct = K.encrypt(ctx, keyset, v, 2.0 ** 45, 0)
+        sq = O.relinearize(ctx, keyset, O.square(ctx, ct))
+        assert np.max(np.abs(K.decrypt(ctx, keyset, sq) - v * v)) < 1e-4
+
+    def test_modswitch_preserves_value(self, ctx, keyset):
+        v = self._vals(ctx, 9)
+        ct = K.encrypt(ctx, keyset, v, 2.0 ** 45, 0)
+        ms = O.mod_switch(ctx, ct)
+        assert ms.level == 1 and ms.scale == ct.scale
+        assert np.max(np.abs(K.decrypt(ctx, keyset, ms) - v)) < 1e-5
+
+    def test_plain_ops(self, ctx, keyset):
+        v1, v2 = self._vals(ctx, 10), self._vals(ctx, 11)
+        ct = K.encrypt(ctx, keyset, v1, 2.0 ** 45, 0)
+        pt = K.encode(ctx, v2, 2.0 ** 45, 0)
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.add_plain(ctx, ct, pt)) - (v1 + v2))) < 1e-5
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.sub_plain(ctx, ct, pt)) - (v1 - v2))) < 1e-5
+        assert np.max(np.abs(K.decrypt(ctx, keyset, O.multiply_plain(ctx, ct, pt)) - v1 * v2)) < 1e-4

@@ -1,0 +1,134 @@
+"""End-to-end homomorphic tests: compile -> keygen -> encrypt -> execute ->
+decrypt, gated at MSE < 0.01 vs the plaintext reference (coverage model:
+reference tests/features.py, tests/bug_fixes.py, tests/std.py)."""
+
+import operator
+
+import pytest
+
+from eva_tpu import EvaProgram, Input, Output
+from eva_tpu.std.numeric import horizontal_sum
+from helpers import compile_and_check
+
+
+class TestBinOpsHE:
+    @pytest.mark.parametrize("name,bin_op", [
+        ("add", operator.add), ("sub", operator.sub), ("mul", operator.mul)])
+    @pytest.mark.parametrize("enc1", [False, True])
+    @pytest.mark.parametrize("enc2", [False, True])
+    def test_bin_op(self, name, bin_op, enc1, enc2):
+        prog = EvaProgram("BinOp", vec_size=64)
+        with prog:
+            a = Input("a", enc1)
+            b = Input("b", enc2)
+            Output("y", bin_op(a, b))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog)
+
+
+class TestUnaryOpsHE:
+    @pytest.mark.parametrize("enc", [False, True])
+    def test_unary(self, enc):
+        for un_op in (lambda x: x, lambda x: -x, lambda x: x ** 3, lambda x: 42):
+            prog = EvaProgram("UnOp", vec_size=64)
+            with prog:
+                x = Input("x", enc)
+                Output("y", un_op(x))
+            prog.set_output_ranges(20)
+            prog.set_input_scales(30)
+            compile_and_check(prog)
+
+
+class TestRotationsHE:
+    @pytest.mark.parametrize("rot", range(-2, 2))
+    def test_rotations(self, rot):
+        for rot_op in (lambda x, r: x << r, lambda x, r: x >> r):
+            prog = EvaProgram("RotOp", vec_size=8)
+            with prog:
+                x = Input("x")
+                Output("y", rot_op(x, rot))
+            prog.set_output_ranges(20)
+            prog.set_input_scales(30)
+            compile_and_check(prog)
+
+
+class TestMixedHE:
+    @pytest.mark.parametrize("enc1", [False, True])
+    @pytest.mark.parametrize("enc2", [False, True])
+    def test_unencrypted_computation(self, enc1, enc2):
+        prog = EvaProgram("Mixed", vec_size=128)
+        with prog:
+            x1 = Input("x1", enc1)
+            x2 = Input("x2", enc2)
+            Output("y", pow(x2, 3) + x1 * x2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog)
+
+
+class TestRegressionsHE:
+    def test_high_inner_term_scale(self):
+        prog = EvaProgram("HighInnerTermScale", vec_size=4)
+        with prog:
+            x1 = Input("x1")
+            x2 = Input("x2")
+            Output("y", x1 * x1 * x2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        compile_and_check(prog, config={"rescaler": "lazy_waterline"})
+
+    def test_transparent_ciphertext(self):
+        prog = EvaProgram("Transparent", vec_size=64)
+        with prog:
+            x = Input("x")
+            Output("y", x - x + x * 0)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog)
+
+    def test_multiple_outputs(self):
+        prog = EvaProgram("Multi", vec_size=32)
+        with prog:
+            x = Input("x")
+            y = Input("y")
+            Output("a", x * y)
+            Output("b", x + y)
+            Output("c", x * x * y + y)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog)
+
+
+class TestStdHE:
+    @pytest.mark.parametrize("enc", [True, False])
+    def test_horizontal_sum(self, enc):
+        prog = EvaProgram("HorizontalSum", vec_size=256)
+        with prog:
+            x = Input("x", is_encrypted=enc)
+            Output("y", horizontal_sum(x))
+        prog.set_output_ranges(25)
+        prog.set_input_scales(33)
+        compile_and_check(prog)
+
+    def test_horizontal_sum_constant(self):
+        prog = EvaProgram("HorizontalSumConstant", vec_size=256)
+        with prog:
+            Output("y", horizontal_sum([1 for _ in range(prog.vec_size)]))
+        prog.set_output_ranges(25)
+        prog.set_input_scales(33)
+        compile_and_check(prog)
+
+
+class TestSecurityLevelsHE:
+    @pytest.mark.parametrize("sec,quantum", [
+        ("128", "false"), ("192", "true"), ("256", "false")])
+    def test_security_levels(self, sec, quantum):
+        prog = EvaProgram("SecurityLevel", vec_size=512)
+        with prog:
+            x = Input("x")
+            Output("y", 5 * x * x + 3 * x + x << 12 + 10)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(
+            prog, config={"security_level": sec, "quantum_safe": quantum})
