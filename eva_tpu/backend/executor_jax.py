@@ -1,0 +1,309 @@
+"""Whole-graph XLA executor: compiles an entire EVA program into ONE jitted
+function over uint32 limb-plane tensors.
+
+This is the TPU-idiomatic replacement for the reference's per-term
+interpreter (seal_executor.h dispatches op-by-op through seal::Evaluator;
+we instead trace the whole DAG so XLA fuses dyadic chains, batches NTT
+stages, and schedules key-switches without host round-trips).
+
+Host/device split follows the protocol roles: encode/encrypt/decrypt are
+host-side (client role, float64 FFT); `execute` (server role) is this
+module. Raw (never-encrypted) subgraphs stay host-side numpy, exactly as
+the reference computes them on plain doubles (seal_executor.h:63-112).
+
+Levels and true scales are static (from the executor plan), so every
+tensor shape is static and one jit compilation covers the program."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..crypto import keys as K
+from ..crypto.ciphertext import Ciphertext, Plaintext
+from ..crypto.context import CKKSContext
+from ..ir import ROTATION, Op, Program, Term, Type
+from .tables import DeviceLevelOps
+
+_LEVEL_OPS_CACHE: Dict[Tuple[int, ...], DeviceLevelOps] = {}
+
+
+def level_ops(primes: List[int], n: int) -> DeviceLevelOps:
+    key = tuple(primes)
+    if key not in _LEVEL_OPS_CACHE:
+        _LEVEL_OPS_CACHE[key] = DeviceLevelOps(primes, n)
+    return _LEVEL_OPS_CACHE[key]
+
+
+def _to_u32(arr: np.ndarray) -> np.ndarray:
+    return arr.astype(np.uint32)
+
+
+def _to_mont_rows(arr: np.ndarray, primes: List[int]) -> np.ndarray:
+    out = np.empty(arr.shape, dtype=np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = ((arr[i].astype(np.uint64) << np.uint64(32)) % np.uint64(q)
+                  ).astype(np.uint32)
+    return out
+
+
+class DeviceKeys:
+    """Key material converted to device form (Montgomery uint32)."""
+
+    def __init__(self, ctx: CKKSContext, keys: K.KeySet):
+        basis = ctx.all_primes
+        self.relin = self._convert_ksk(keys.relin, basis)
+        self.galois = {g: self._convert_ksk(k, basis)
+                       for g, k in keys.galois.items()}
+
+    @staticmethod
+    def _convert_ksk(ksk: K.KSwitchKey, primes: List[int]):
+        k0 = np.stack([_to_mont_rows(d, primes) for d in ksk.k0])
+        k1 = np.stack([_to_mont_rows(d, primes) for d in ksk.k1])
+        return jnp.asarray(k0), jnp.asarray(k1)  # [n_digits, n_all, N]
+
+
+_DEVICE_KEYS_CACHE: Dict[int, DeviceKeys] = {}
+
+
+def device_keys(ctx: CKKSContext, keys: K.KeySet) -> DeviceKeys:
+    key = id(keys)
+    if key not in _DEVICE_KEYS_CACHE:
+        _DEVICE_KEYS_CACHE[key] = DeviceKeys(ctx, keys)
+    return _DEVICE_KEYS_CACHE[key]
+
+
+class JaxProgram:
+    """Traces a compiled EVA program into a single jitted function."""
+
+    def __init__(self, program: Program, ctx: CKKSContext, keys: K.KeySet,
+                 plan, types, order: List[Term]):
+        self.program = program
+        self.ctx = ctx
+        self.keys = keys
+        self.plan = plan
+        self.types = types
+        self.order = order
+        self.dkeys = device_keys(ctx, keys)
+        self._jitted = jax.jit(self._traced)
+
+    # -- device op helpers ---------------------------------------------------
+
+    def _ops_at(self, level: int) -> DeviceLevelOps:
+        return level_ops(self.ctx.primes_at_level(level), self.ctx.n)
+
+    def _ext_ops_at(self, level: int) -> DeviceLevelOps:
+        return level_ops(self.ctx.primes_at_level(level) + self.ctx.key_primes,
+                         self.ctx.n)
+
+    def _key_switch(self, poly, level: int, ksk0, ksk1):
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        n_cur = len(primes)
+        dev = self._ops_at(level)
+        ext = self._ext_ops_at(level)
+        n_all_data = len(ctx.data_primes)
+        row_idx = np.array(
+            list(range(n_cur)) + [n_all_data + i
+                                  for i in range(len(ctx.key_primes))])
+
+        coeffs = dev.intt(poly)  # [n_cur, N]
+        acc0 = jnp.zeros((len(primes) + len(ctx.key_primes), ctx.n), jnp.uint32)
+        acc1 = jnp.zeros_like(acc0)
+        for j in range(n_cur):
+            # Digit broadcast: the raw row is a valid unreduced input; the
+            # NTT twist performs per-prime reduction.
+            d = jnp.broadcast_to(coeffs[j][None, :], acc0.shape)
+            d_ntt = ext.ntt(d)
+            acc0 = ext.add(acc0, ext.mul_mont(d_ntt, ksk0[j][row_idx]))
+            acc1 = ext.add(acc1, ext.mul_mont(d_ntt, ksk1[j][row_idx]))
+
+        def div_p(acc):
+            coeffs_ext = ext.intt(acc)
+            prim = primes + list(self.ctx.key_primes)
+            x = coeffs_ext
+            for _ in self.ctx.key_primes:
+                x = self._divide_last(x, prim)
+                prim = prim[:-1]
+            return level_ops(prim, ctx.n).ntt(x)
+
+        return div_p(acc0), div_p(acc1)
+
+    def _divide_last(self, coeffs, primes: List[int]):
+        """Divide-and-round coefficient planes by the last prime.
+
+        r_i = (x_i - centered([x]_p)) / p  mod q_i, computed as
+        mont_mul(x_i + p - lift, p^-1) minus 1 when lift was not centered
+        up (see backend notes: x_i + p - lift < 2^32 always)."""
+        p = primes[-1]
+        rest = primes[:-1]
+        dev = level_ops(rest, self.ctx.n)
+        lift = coeffs[-1]  # [N] standard residues < p
+        flag_high = lift > (p // 2)  # centered lift is negative
+        pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
+        for i, q in enumerate(rest):
+            inv = pow(p % q, q - 2, q)
+            pinv_mont[i, 0] = (inv << 32) % q
+        v = coeffs[:-1] + (np.uint32(p) - lift)[None, :]  # < 2^32, no wrap
+        r = dev.mul_mont(v, pinv_mont)
+        # When lift <= p/2 we computed (x - lift + p)/p = want + 1.
+        corr = jnp.where(flag_high[None, :], jnp.uint32(0), jnp.uint32(1))
+        return dev.sub(r, corr)
+
+    def _rescale(self, polys, level: int):
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        entry = ctx.entries_at_level(level)[-1]
+        dev = self._ops_at(level)
+        out = []
+        for c in polys:
+            x = dev.intt(c)
+            prim = list(primes)
+            for _ in entry.primes:
+                x = self._divide_last(x, prim)
+                prim = prim[:-1]
+            out.append(level_ops(prim, ctx.n).ntt(x))
+        return out
+
+    # -- trace ---------------------------------------------------------------
+
+    def _traced(self, cipher_in: Dict[str, List[jnp.ndarray]],
+                plain_in: Dict[str, jnp.ndarray]):
+        ctx = self.ctx
+        vals: Dict[int, object] = {}
+
+        for name, term in self.program.inputs.items():
+            key = f"t{term.index}"
+            if key in cipher_in:
+                vals[term.index] = list(cipher_in[key])
+            elif key in plain_in:
+                vals[term.index] = ("plain", plain_in[key])
+
+        for term in self.order:
+            op = term.op
+            idx = term.index
+            if self.types[term] == Type.Raw or op in (Op.Input, Op.Constant):
+                continue
+            if op == Op.Encode:
+                vals[idx] = ("plain", plain_in[f"t{idx}"])
+                continue
+            p = self.plan[idx]
+            dev = self._ops_at(p.level)
+            args = term.operands
+            if op in (Op.Add, Op.Sub, Op.Mul):
+                vals[idx] = self._binop(term, vals, dev)
+            elif op == Op.Negate:
+                vals[idx] = [dev.neg(c) for c in vals[args[0].index]]
+            elif op in (Op.RotateLeftConst, Op.RotateRightConst):
+                steps = term.get_attr(ROTATION)
+                if op == Op.RotateRightConst:
+                    steps = -steps
+                vals[idx] = self._rotate(vals[args[0].index], steps, p.level, dev)
+            elif op == Op.Relinearize:
+                vals[idx] = self._relin(vals[args[0].index], p.level, dev)
+            elif op == Op.ModSwitch:
+                v = vals[args[0].index]
+                keep = len(ctx.primes_at_level(p.level))
+                if isinstance(v, tuple):
+                    vals[idx] = ("plain", v[1][:keep])
+                else:
+                    vals[idx] = [c[:keep] for c in v]
+            elif op == Op.Rescale:
+                prev = self.plan[args[0].index]
+                vals[idx] = self._rescale(vals[args[0].index], prev.level)
+            elif op == Op.Output:
+                vals[idx] = vals[args[0].index]
+            else:
+                raise RuntimeError(f"unsupported op in jax backend: {op.name}")
+
+        out = {}
+        for name, t in self.program.outputs.items():
+            if self.types[t] == Type.Raw:
+                continue  # raw outputs are computed host-side
+            v = vals[t.index]
+            out[name] = (v[1],) if isinstance(v, tuple) else tuple(v)
+        return out
+
+    def _binop(self, term: Term, vals, dev: DeviceLevelOps):
+        a = vals[term.operands[0].index]
+        b = vals[term.operands[1].index]
+        op = term.op
+        a_plain = isinstance(a, tuple)
+        b_plain = isinstance(b, tuple)
+        if not a_plain and not b_plain:
+            if op == Op.Mul:
+                a0, a1 = a
+                b0, b1 = b
+                return [dev.mul(a0, b0),
+                        dev.add(dev.mul(a0, b1), dev.mul(a1, b0)),
+                        dev.mul(a1, b1)]
+            f = dev.add if op == Op.Add else dev.sub
+            n = max(len(a), len(b))
+            out = []
+            for i in range(n):
+                if i < len(a) and i < len(b):
+                    out.append(f(a[i], b[i]))
+                elif i < len(a):
+                    out.append(a[i])
+                else:
+                    out.append(b[i] if op == Op.Add else dev.neg(b[i]))
+            return out
+        if a_plain and not b_plain:
+            if op == Op.Sub:
+                raise RuntimeError("plain - cipher should have been lowered")
+            a, b = b, a
+        pt = b[1]
+        if op == Op.Add:
+            return [dev.add(a[0], pt)] + list(a[1:])
+        if op == Op.Sub:
+            return [dev.sub(a[0], pt)] + list(a[1:])
+        return [dev.mul(c, pt) for c in a]
+
+    def _relin(self, polys, level: int, dev: DeviceLevelOps):
+        if len(polys) == 2:
+            return list(polys)
+        k0, k1 = self.dkeys.relin
+        d0, d1 = self._key_switch(polys[2], level, k0, k1)
+        return [dev.add(polys[0], d0), dev.add(polys[1], d1)]
+
+    def _rotate(self, polys, steps: int, level: int, dev: DeviceLevelOps):
+        ctx = self.ctx
+        if steps % (ctx.n // 2) == 0:
+            return list(polys)
+        g = ctx.galois_elt(steps)
+        perm = ctx.perm_for_elt(g)
+        c0 = jnp.take(polys[0], perm, axis=1)
+        c1 = jnp.take(polys[1], perm, axis=1)
+        k0, k1 = self.dkeys.galois[g]
+        d0, d1 = self._key_switch(c1, level, k0, k1)
+        return [dev.add(c0, d0), d1]
+
+    # -- run -----------------------------------------------------------------
+
+    def run(self, host_values: Dict[int, object]) -> Dict[str, Ciphertext]:
+        """host_values: term index -> Ciphertext (inputs) or Plaintext
+        (inputs + encodes, already host-encoded). Returns output name ->
+        Ciphertext (numpy, uint64)."""
+        cipher_in = {}
+        plain_in = {}
+        for idx, v in host_values.items():
+            if isinstance(v, Ciphertext):
+                cipher_in[f"t{idx}"] = [jnp.asarray(_to_u32(c)) for c in v.polys]
+            elif isinstance(v, Plaintext):
+                plain_in[f"t{idx}"] = jnp.asarray(_to_u32(v.poly))
+        out = self._jitted(cipher_in, plain_in)
+        result = {}
+        for name, t in self.program.outputs.items():
+            if self.types[t] == Type.Raw:
+                continue
+            planes = [np.asarray(c).astype(np.uint64) for c in out[name]]
+            p = self.plan[t.index]
+            if self.types[t] == Type.Plain:
+                result[name] = Plaintext(planes[0], p.level, p.scale)
+            else:
+                result[name] = Ciphertext(planes, p.level, p.scale)
+        return result

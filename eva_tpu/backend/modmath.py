@@ -1,0 +1,71 @@
+"""32-bit modular arithmetic on JAX arrays.
+
+Primes are < 2^31. Values are uint32. mont_mul(a, b_mont) computes
+a * b mod q for any a < 2^32 and b_mont = b * 2^32 mod q < q; the
+Montgomery reduction absorbs the reduction of unreduced `a`, which the
+NTT twist and key-switch digit broadcasts rely on.
+
+All helpers broadcast per-row constants: q/nqinv/etc. are passed as
+[n_sub, 1] uint32 arrays against [n_sub, N] data planes."""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+MASK16 = np.uint32(0xFFFF)
+R_BITS = 32
+
+
+def mont_constants(q: int):
+    """(nqinv, r1, r2): -q^-1 mod 2^32, R mod q, R^2 mod q."""
+    r = 1 << R_BITS
+    qinv = pow(q, -1, r)
+    nqinv = (r - qinv) % r
+    return np.uint32(nqinv), np.uint32(r % q), np.uint32(r * r % q)
+
+
+def to_mont(x: np.ndarray, q, r2=None) -> np.ndarray:
+    """Host-side conversion into Montgomery form (numpy, exact)."""
+    q = np.uint64(q)
+    return ((x.astype(np.uint64) << np.uint64(32)) % q).astype(np.uint32)
+
+
+def _mul32(a, b):
+    """Full 32x32 -> 64-bit product as (hi, lo) uint32 via 16-bit splits."""
+    al = a & MASK16
+    ah = a >> 16
+    bl = b & MASK16
+    bh = b >> 16
+    ll = al * bl
+    lh = al * bh
+    hl = ah * bl
+    hh = ah * bh
+    mid = (ll >> 16) + (lh & MASK16) + (hl & MASK16)
+    lo = (mid << 16) | (ll & MASK16)
+    hi = hh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+    return hi, lo
+
+
+def mont_mul(a, b_mont, q, nqinv):
+    """a * b mod q, with b in Montgomery form. Valid for any a < 2^32."""
+    hi, lo = _mul32(a, b_mont)
+    m = lo * nqinv  # wrapping
+    mq_hi, _ = _mul32(m, q)
+    carry = (lo != 0).astype(jnp.uint32)
+    u = hi + mq_hi + carry
+    return jnp.where(u >= q, u - q, u)
+
+
+def add_mod(a, b, q):
+    s = a + b
+    return jnp.where(s >= q, s - q, s)
+
+
+def sub_mod(a, b, q):
+    return jnp.where(a >= b, a - b, a + q - b)
+
+
+def neg_mod(a, q):
+    return jnp.where(a == 0, a, q - a)

@@ -1,0 +1,105 @@
+"""Precomputed device tables for one RNS prime set (one chain level).
+
+Holds per-row modulus constants and Montgomery-form NTT twiddle tables,
+plus the vectorized transforms over [n_sub, N] uint32 limb planes. The
+butterfly schedule is identical to the host tables (crypto/ntt.py), so
+device results are bit-identical to the numpy backend."""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..crypto.ntt import get_table
+from .modmath import add_mod, mont_constants, mont_mul, sub_mod
+
+
+class DeviceLevelOps:
+    """Vectorized modular/NTT ops for a fixed prime list."""
+
+    def __init__(self, primes: Sequence[int], n: int):
+        self.primes = list(primes)
+        self.n = n
+        n_sub = len(primes)
+        self.q = np.array(primes, dtype=np.uint32)[:, None]
+        nqinv = np.empty((n_sub, 1), dtype=np.uint32)
+        r1 = np.empty((n_sub, 1), dtype=np.uint32)
+        r2 = np.empty((n_sub, 1), dtype=np.uint32)
+        for i, q in enumerate(primes):
+            nqinv[i, 0], r1[i, 0], r2[i, 0] = mont_constants(q)
+        self.nqinv = nqinv
+        self.r1 = r1  # Montgomery form of 1
+        self.r2 = r2  # Montgomery form of R
+
+        tables = [get_table(q, n) for q in primes]
+        self.logn = tables[0].logn
+        self.bitrev = tables[0].bitrev
+
+        def stack_mont(rows: List[np.ndarray]) -> np.ndarray:
+            out = np.empty((n_sub, len(rows[0])), dtype=np.uint32)
+            for i, (row, q) in enumerate(zip(rows, primes)):
+                out[i] = ((row.astype(np.uint64) << np.uint64(32)) % np.uint64(q)
+                          ).astype(np.uint32)
+            return out
+
+        self.twist = stack_mont([t.twist for t in tables])
+        self.untwist = stack_mont([t.untwist for t in tables])
+        self.stage_w = [
+            stack_mont([t.stage_w[s] for t in tables])
+            for s in range(self.logn)]
+        self.stage_w_inv = [
+            stack_mont([t.stage_w_inv[s] for t in tables])
+            for s in range(self.logn)]
+
+    # -- elementwise --------------------------------------------------------
+
+    def add(self, a, b):
+        return add_mod(a, b, self.q)
+
+    def sub(self, a, b):
+        return sub_mod(a, b, self.q)
+
+    def neg(self, a):
+        return jnp.where(a == 0, a, self.q - a)
+
+    def mul_mont(self, a, b_mont):
+        """a (standard, may be unreduced) * b (Montgomery form)."""
+        return mont_mul(a, b_mont, self.q, self.nqinv)
+
+    def mul(self, a, b):
+        """Both operands standard-domain (ct-ct dyadic multiply)."""
+        return self.mul_mont(self.mul_mont(a, b), self.r2)
+
+    def reduce(self, a):
+        """Reduce an unreduced uint32 plane into [0, q)."""
+        return self.mul_mont(a, self.r1)
+
+    # -- NTT ----------------------------------------------------------------
+
+    def _dft(self, x, inverse: bool):
+        lead = x.shape[:-1]
+        n = self.n
+        x = jnp.take(x, self.bitrev, axis=-1)
+        stage_tables = self.stage_w_inv if inverse else self.stage_w
+        for s in range(1, self.logn + 1):
+            m = 1 << s
+            half = m >> 1
+            w = stage_tables[s - 1][:, None, :]  # [n_sub, 1, half]
+            xr = x.reshape(*lead, n >> s, m)
+            lo = xr[..., :half]
+            hi = mont_mul(xr[..., half:], w, self.q[:, None, :], self.nqinv[:, None, :])
+            x = jnp.concatenate(
+                (add_mod(lo, hi, self.q[:, None, :]),
+                 sub_mod(lo, hi, self.q[:, None, :])), axis=-1).reshape(*lead, n)
+        return x
+
+    def ntt(self, a):
+        """Coefficient -> evaluation. Accepts unreduced planes (the twist
+        multiply performs the reduction)."""
+        return self._dft(self.mul_mont(a, self.twist), inverse=False)
+
+    def intt(self, x):
+        return self.mul_mont(self._dft(x, inverse=True), self.untwist)

@@ -90,22 +90,24 @@ def _sample_uniform_ntt(ctx: CKKSContext, primes: List[int], rng) -> np.ndarray:
 
 def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
                       rng) -> KSwitchKey:
-    """Encrypt P * g_j * target under s, digit-wise over the full basis.
+    """Encrypt P * g_j * target under s, one digit per data SUB-prime.
 
-    target_ntt: [n_all, N] NTT-domain residues of the key being switched
-    FROM (s^2 for relinearization, sigma_g(s) for rotations)."""
+    Per-sub-prime gadget digits keep every digit below 2^31, so the
+    device backend decomposes by simply re-broadcasting residue rows
+    (no multi-word CRT on device). target_ntt: [n_all, N] NTT-domain
+    residues of the key being switched FROM (s^2 for relinearization,
+    sigma_g(s) for rotations)."""
     basis = ctx.all_primes
     P = ctx.key_entry.product
     Q = 1
-    for e in ctx.data_entries:
-        Q *= e.product
+    for q in ctx.data_primes:
+        Q *= q
     s_rows = s.s  # full basis
     k0, k1 = [], []
-    for j, entry in enumerate(ctx.data_entries):
-        Qj = entry.product
-        Qhat = Q // Qj
-        g_j = Qhat * pow(Qhat % Qj, _totient_inv_exp(entry), Qj)
-        factor = (P * g_j)
+    for q_j in ctx.data_primes:
+        Qhat = Q // q_j
+        g_j = Qhat * pow(Qhat % q_j, q_j - 2, q_j)
+        factor = P * g_j
         a = _sample_uniform_ntt(ctx, basis, rng)
         e_ntt = _small_poly_residues(ctx, _sample_error(ctx, rng), basis)
         qv = ctx.qvec(basis)
@@ -114,16 +116,6 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
         k0.append(b)
         k1.append(a)
     return KSwitchKey(k0, k1)
-
-
-def _totient_inv_exp(entry) -> int:
-    """Exponent for modular inverse mod entry.product (CRT of prime powers):
-    for a product of distinct primes, lambda = lcm(p_i - 1)."""
-    lam = 1
-    for p in entry.primes:
-        g = np.gcd(lam, p - 1)
-        lam = lam // int(g) * (p - 1)
-    return lam - 1
 
 
 def generate_keys(ctx: CKKSContext) -> KeySet:

@@ -111,22 +111,34 @@ def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
     qv_ext = ctx.qvec(basis)
 
     coeffs = ctx.intt(poly_ntt, primes)
-    digits = ctx.decompose_digits(coeffs, level, basis)
 
     acc0 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     acc1 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     key_rows = [len(ctx.data_primes) + i for i in range(len(ctx.key_primes))]
     row_idx = list(range(n_cur)) + key_rows
-    for j, d in enumerate(digits):
+    for j in range(n_cur):
+        # Per-sub-prime digit: broadcast the residue row into every basis
+        # prime (each digit value < q_j < 2^31).
+        d = np.empty((len(basis), ctx.n), dtype=np.uint64)
+        for i, q in enumerate(basis):
+            d[i] = coeffs[j] % np.uint64(q)
         d_ntt = ctx.ntt(d, basis)
         k0 = ksk.k0[j][row_idx]
         k1 = ksk.k1[j][row_idx]
         acc0 = (acc0 + (d_ntt * k0) % qv_ext) % qv_ext
         acc1 = (acc1 + (d_ntt * k1) % qv_ext) % qv_ext
 
-    d0 = ctx.ntt(ctx.divide_by_key_product(ctx.intt(acc0, basis), primes), primes)
-    d1 = ctx.ntt(ctx.divide_by_key_product(ctx.intt(acc1, basis), primes), primes)
-    return d0, d1
+    # Divide by the key-prime product: drop key sub-primes one at a time
+    # with divide-and-round (rounding error <= 1/2 per step).
+    def _div_p(acc):
+        coeffs_ext = ctx.intt(acc, basis)
+        prim = list(basis)
+        for _ in ctx.key_primes:
+            coeffs_ext = ctx.divide_by_subprime(coeffs_ext, prim)
+            prim = prim[:-1]
+        return ctx.ntt(coeffs_ext, primes)
+
+    return _div_p(acc0), _div_p(acc1)
 
 
 def relinearize(ctx: CKKSContext, keys: KeySet, a: Ciphertext) -> Ciphertext:

@@ -1,0 +1,20 @@
+"""Multi-chip parallelism: mesh construction and sharded ciphertext
+batches.
+
+The reference's parallelism story is task-parallel DAG execution over a
+multicore CPU (Galois worklists; reference multicore_program_traversal.h)
+plus SIMD slot batching inside each ciphertext. The TPU-native mapping
+(SURVEY.md §2.9):
+
+  * slot batching       -> unchanged (one ciphertext = N/2 slots)
+  * task parallelism    -> XLA instruction scheduling inside one jitted
+                           program (no host worklists)
+  * NEW: batch axis     -> independent ciphertexts sharded over the mesh
+                           ("dp"-like; embarrassingly parallel)
+  * NEW: limb axis      -> RNS sub-prime planes sharded over the mesh
+                           ("tp"-like; NTT/dyadic ops are limb-local,
+                           rescale/key-switch gather single limb rows)
+"""
+
+from .sharding import (make_device_mesh, shard_batch, batch_pipeline_step,
+                       replicated)

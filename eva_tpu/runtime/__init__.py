@@ -40,6 +40,7 @@ class EVAPublic:
         self._keys = keys
         self.params = params
         self.backend = backend or "numpy"
+        self._executors: Dict[int, Executor] = {}
 
     def encrypt(self, inputs: Dict[str, Sequence[float]],
                 signature: CKKSSignature) -> EVAValuation:
@@ -66,7 +67,11 @@ class EVAPublic:
         return out
 
     def execute(self, program, inputs: EVAValuation) -> EVAValuation:
-        executor = Executor(program, self.ctx, self._keys, backend=self.backend)
+        executor = self._executors.get(id(program))
+        if executor is None or executor.program is not program:
+            executor = Executor(program, self.ctx, self._keys,
+                                backend=self.backend)
+            self._executors[id(program)] = executor
         outputs = executor.run(inputs)
         return EVAValuation(self.params, outputs)
 

@@ -50,6 +50,7 @@ class Executor:
         ProgramTraversal(program).forward_pass(TypeDeducer(program, self.types))
         self.order = program.topological_order()
         self.plan: Dict[int, TermPlan] = {}
+        self._jax_program = None
         self._make_plan()
 
     # -- planning ------------------------------------------------------------
@@ -143,6 +144,59 @@ class Executor:
     # -- execution -----------------------------------------------------------
 
     def run(self, inputs: Dict) -> Dict:
+        if self.backend == "jax":
+            return self._run_jax(inputs)
+        return self._run_numpy(inputs)
+
+    def _run_jax(self, inputs: Dict) -> Dict:
+        """Host-compute Raw subgraphs and plaintext encodes, then hand the
+        cipher DAG to the whole-graph XLA executor."""
+        from ..backend.executor_jax import JaxProgram
+
+        ctx = self.ctx
+        vec_size = self.program.vec_size
+        host_values: Dict[int, object] = {}
+        raw_vals: Dict[int, object] = {}
+
+        for name, term in self.program.inputs.items():
+            if name not in inputs:
+                raise RuntimeError(f"Missing input {name}")
+            v = inputs[name]
+            if isinstance(v, Ciphertext):
+                p = self.plan[term.index]
+                while v.level < p.level:
+                    v = O.mod_switch(ctx, v)
+                host_values[term.index] = v
+            elif isinstance(v, Plaintext):
+                host_values[term.index] = v
+            else:
+                raw_vals[term.index] = np.asarray(v, dtype=np.float64)
+
+        for term in self.order:
+            if term.op == Op.Input:
+                continue
+            if self.types[term] == Type.Raw:
+                raw_vals[term.index] = self._raw_op(term, raw_vals, vec_size)
+            elif term.op == Op.Constant:
+                raw_vals[term.index] = np.asarray(
+                    term.get_attr(CONSTANT_VALUE).expand(vec_size))
+            elif term.op == Op.Encode:
+                p = self.plan[term.index]
+                raw = np.asarray(raw_vals[term.operands[0].index],
+                                 dtype=np.float64)
+                host_values[term.index] = K.encode(ctx, raw, p.scale, p.level)
+
+        if self._jax_program is None:
+            self._jax_program = JaxProgram(
+                self.program, ctx, self.keys, self.plan, self.types, self.order)
+        outputs = self._jax_program.run(host_values)
+
+        for name, t in self.program.outputs.items():
+            if self.types[t] == Type.Raw:
+                outputs[name] = raw_vals[t.operands[0].index]
+        return outputs
+
+    def _run_numpy(self, inputs: Dict) -> Dict:
         values: Dict[int, object] = {}
         ctx, keys = self.ctx, self.keys
         vec_size = self.program.vec_size

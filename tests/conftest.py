@@ -3,11 +3,18 @@ multi-chip sharding paths are exercised without TPU hardware."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The environment may pin JAX_PLATFORMS to a hardware plugin (e.g. the
+# axon TPU tunnel) via site config that overrides the env var; force the
+# flag itself so tests always run on the virtual CPU mesh.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import random
 

@@ -1,0 +1,82 @@
+"""JAX/XLA backend tests: bit-exactness of device kernels vs the numpy
+reference, and end-to-end HE round-trips through the whole-graph executor.
+
+Runs on the CPU backend (conftest forces a virtual CPU platform); the
+identical 32-bit kernels run on TPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from eva_tpu.backend.tables import DeviceLevelOps
+from eva_tpu.crypto.ntt import get_table
+from helpers import compile_and_check
+
+
+PRIMES = [1073668097, 1073815553, 40961]
+N = 64
+
+
+@pytest.fixture(scope="module")
+def dev():
+    return DeviceLevelOps(PRIMES, N)
+
+
+def _rand_planes(seed):
+    rng = np.random.default_rng(seed)
+    return np.stack([rng.integers(0, q, N, dtype=np.uint64)
+                     for q in PRIMES]).astype(np.uint32)
+
+
+class TestDeviceKernels:
+    def test_mont_mul_bit_exact(self, dev):
+        a, b = _rand_planes(0), _rand_planes(1)
+        ref = np.stack([(a[i].astype(np.uint64) * b[i]) % np.uint64(q)
+                        for i, q in enumerate(PRIMES)])
+        got = np.asarray(jax.jit(dev.mul)(jnp.asarray(a), jnp.asarray(b)))
+        assert np.array_equal(got.astype(np.uint64), ref)
+
+    def test_ntt_bit_exact(self, dev):
+        a = _rand_planes(2)
+        ref = np.stack([get_table(q, N).ntt(a[i].astype(np.uint64))
+                        for i, q in enumerate(PRIMES)])
+        got = np.asarray(jax.jit(dev.ntt)(jnp.asarray(a)))
+        assert np.array_equal(got.astype(np.uint64), ref)
+        ref_i = np.stack([get_table(q, N).intt(ref[i])
+                          for i, q in enumerate(PRIMES)])
+        got_i = np.asarray(jax.jit(dev.intt)(jnp.asarray(got)))
+        assert np.array_equal(got_i.astype(np.uint64), ref_i)
+
+    def test_ntt_reduces_unreduced_input(self, dev):
+        a = _rand_planes(3)
+        big = (a.astype(np.uint64) + np.uint64(2 ** 31)).astype(np.uint32)
+        ref = np.stack([
+            get_table(q, N).ntt(big[i].astype(np.uint64) % np.uint64(q))
+            for i, q in enumerate(PRIMES)])
+        got = np.asarray(jax.jit(dev.ntt)(jnp.asarray(big)))
+        assert np.array_equal(got.astype(np.uint64), ref)
+
+
+class TestJaxEndToEnd:
+    def test_poly_he_roundtrip(self):
+        from eva_tpu import EvaProgram, Input, Output
+        prog = EvaProgram("jaxpoly", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + 5 * x - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, backend="jax")
+
+    def test_rotation_and_mixed_he_roundtrip(self):
+        from eva_tpu import EvaProgram, Input, Output
+        prog = EvaProgram("jaxrot", vec_size=8)
+        with prog:
+            x = Input("x")
+            w = Input("w", False)
+            Output("y", (x << 1) * w + (x >> 2) - 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compile_and_check(prog, backend="jax")

@@ -1,0 +1,115 @@
+"""Serialization tests: the 4-role protocol (compile -> keygen -> client
+encrypt -> server execute -> client decrypt) across process boundaries via
+files, plus wire-format details. Coverage model: reference
+tests/features.py:154-217 and examples/serialization.py."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from eva_tpu import EvaProgram, Input, Output, evaluate, load, save
+from eva_tpu.ckks import CKKSCompiler
+from eva_tpu.ir import Op
+from eva_tpu.metric import valuation_mse
+from eva_tpu.runtime import generate_keys
+from eva_tpu.serialization import (deserialize_program, save_to_string,
+                                   load_from_string, serialize_program)
+
+
+def _poly_program():
+    poly = EvaProgram("Polynomial", vec_size=64)
+    with poly:
+        x = Input("x")
+        Output("y", 3 * x ** 2 + 5 * x - 2)
+    poly.set_output_ranges(20)
+    poly.set_input_scales(30)
+    return poly
+
+
+class TestProgramRoundtrip:
+    def test_program_structure_preserved(self):
+        poly = _poly_program()
+        compiled, _, _ = CKKSCompiler({"warn_vec_size": "false"}).compile(poly)
+        clone = deserialize_program(serialize_program(compiled))
+        assert clone.name == compiled.name
+        assert clone.vec_size == compiled.vec_size
+        assert set(clone.inputs) == set(compiled.inputs)
+        assert set(clone.outputs) == set(compiled.outputs)
+        ops = lambda p: sorted(t.op for t in p.topological_order())
+        assert ops(clone) == ops(compiled)
+
+    def test_program_semantics_preserved(self):
+        poly = _poly_program()
+        compiled, _, _ = CKKSCompiler({"warn_vec_size": "false"}).compile(poly)
+        inputs = {"x": [i * 0.01 for i in range(64)]}
+        clone = deserialize_program(serialize_program(compiled))
+        assert valuation_mse(evaluate(compiled, inputs),
+                             evaluate(clone, inputs)) < 1e-20
+
+    def test_bytes_roundtrip(self):
+        poly = _poly_program()
+        data = save_to_string(poly)
+        clone = load_from_string(data)
+        assert clone.vec_size == poly.vec_size
+
+    def test_format_version_rejected(self):
+        from eva_tpu.serialization import eva_pb2
+        msg = serialize_program(_poly_program())
+        msg.ir_version = 99
+        with pytest.raises(RuntimeError, match="format version"):
+            deserialize_program(msg)
+
+
+class TestFourRoleProtocol:
+    def test_full_protocol_via_files(self):
+        poly = _poly_program()
+        inputs = {"x": [i * 0.01 for i in range(poly.vec_size)]}
+        reference = evaluate(poly, inputs)
+
+        compiled, params, signature = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+
+        with tempfile.TemporaryDirectory() as tmp:
+            path = lambda f: os.path.join(tmp, f)
+            # Compile time
+            save(compiled, path("p.eva"))
+            save(params, path("p.evaparams"))
+            save(signature, path("p.evasignature"))
+            # Key generation time
+            params2 = load(path("p.evaparams"))
+            public_ctx, secret_ctx = generate_keys(params2)
+            save(public_ctx, path("p.pub"))
+            save(secret_ctx, path("p.sec"))
+            # Client: encrypt
+            signature2 = load(path("p.evasignature"))
+            public_ctx2 = load(path("p.pub"))
+            enc_inputs = public_ctx2.encrypt(inputs, signature2)
+            save(enc_inputs, path("in.vals"))
+            # Server: execute
+            prog2 = load(path("p.eva"))
+            enc_in = load(path("in.vals"))
+            enc_out = public_ctx2.execute(prog2, enc_in)
+            save(enc_out, path("out.vals"))
+            # Client: decrypt
+            secret_ctx2 = load(path("p.sec"))
+            enc_out2 = load(path("out.vals"))
+            outputs = secret_ctx2.decrypt(enc_out2, signature2)
+
+        assert valuation_mse(outputs, reference) < 0.01
+
+    def test_params_and_signature_roundtrip(self):
+        poly = _poly_program()
+        _, params, signature = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        with tempfile.TemporaryDirectory() as tmp:
+            p = os.path.join(tmp, "x")
+            save(params, p)
+            params2 = load(p)
+            assert params2 == params
+            save(signature, p)
+            sig2 = load(p)
+            assert sig2.vec_size == signature.vec_size
+            assert sig2.inputs["x"].scale == signature.inputs["x"].scale
+            assert sig2.inputs["x"].level == signature.inputs["x"].level
