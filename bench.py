@@ -9,11 +9,17 @@ multiply at N=16384 with a 6-level (~7-prime) modulus runs at roughly
 publishes no numbers (BASELINE.md), so this is the SEAL-class estimate
 the BASELINE.json target (>=10x) is measured against.
 
+Methodology: the device runtime dispatches asynchronously and
+block_until_ready may return before queued work completes (observed on
+the axon tunnel), so we time CHAINED executions (each iteration consumes
+the previous result, forcing serialization) ending in a device-side
+reduction fetched to host, and report the slope between two chain
+lengths — subtracting fetch and dispatch overhead.
+
 The measured op is the full dyadic tensor-product multiply
 (a0,a1)x(b0,b1) -> 3 components over [12, 16384] RNS limb planes
-(6 abstract 60-bit entries = 12 machine sub-primes), batched to keep the
-chip busy, NTT-domain resident exactly as executed inside compiled
-programs."""
+(6 abstract 60-bit entries = 12 machine sub-primes), NTT-domain resident
+exactly as executed inside compiled programs, batched 32-wide."""
 
 from __future__ import annotations
 
@@ -40,38 +46,45 @@ def main() -> None:
           file=sys.stderr)
 
     batch = 32
-    rng = np.random.default_rng(0)
+
     def planes(seed):
+        r = np.random.default_rng(seed)
         out = np.empty((batch, len(primes), n), dtype=np.uint32)
         for i, q in enumerate(primes):
-            out[:, i, :] = rng.integers(0, q, (batch, n), dtype=np.uint64)
+            out[:, i, :] = r.integers(0, q, (batch, n), dtype=np.uint64)
         return jnp.asarray(out)
 
-    a0, a1, b0, b1 = planes(0), planes(1), planes(2), planes(3)
+    x, a1, b0, b1 = planes(0), planes(1), planes(2), planes(3)
 
     @jax.jit
-    def ct_mul(a0, a1, b0, b1):
+    def ct_mul_chain(a0):
+        # All three components are returned (jit outputs are always
+        # materialized, so none of the four dyadic multiplies can be
+        # dead-code-eliminated); iterations chain on the middle one.
         c0 = dev.mul(a0, b0)
         c1 = dev.add(dev.mul(a0, b1), dev.mul(a1, b0))
         c2 = dev.mul(a1, b1)
         return c0, c1, c2
 
-    # Warm up / compile.
-    out = ct_mul(a0, a1, b0, b1)
-    for o in out:
-        o.block_until_ready()
+    red = jax.jit(lambda c0, c1, c2: jnp.sum((c0 ^ c1 ^ c2) >> 31))
+    out = ct_mul_chain(x)
+    _ = int(red(*out))  # compile both
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = ct_mul(a0, a1, b0, b1)
-    for o in out:
-        o.block_until_ready()
-    dt = time.perf_counter() - t0
+    def chain_time(reps: int) -> float:
+        cur = x
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = ct_mul_chain(cur)
+            cur = out[1]
+        _ = int(red(*out))  # host fetch forces the whole chain
+        return time.perf_counter() - t0
 
-    ops_per_sec = batch * iters / dt
-    print(f"bench: {iters} iters x {batch} batch in {dt:.3f}s "
-          f"-> {ops_per_sec:.1f} ct-mul/s", file=sys.stderr)
+    d_short = chain_time(5)
+    d_long = chain_time(45)
+    per_exec = (d_long - d_short) / 40
+    ops_per_sec = batch / per_exec
+    print(f"bench: slope {per_exec*1e3:.3f} ms/exec (batch {batch}) "
+          f"-> {ops_per_sec:.0f} ct-mul/s", file=sys.stderr)
 
     print(json.dumps({
         "metric": "ckks_ct_mul_throughput_N16384_L6",

@@ -36,7 +36,6 @@ class DeviceLevelOps:
 
         tables = [get_table(q, n) for q in primes]
         self.logn = tables[0].logn
-        self.bitrev = tables[0].bitrev
 
         def stack_mont(rows: List[np.ndarray]) -> np.ndarray:
             out = np.empty((n_sub, len(rows[0])), dtype=np.uint32)
@@ -79,27 +78,47 @@ class DeviceLevelOps:
 
     # -- NTT ----------------------------------------------------------------
 
-    def _dft(self, x, inverse: bool):
+    def _dif_forward(self, x):
+        """Gentleman-Sande: natural in, bit-reversed out. No gathers."""
         lead = x.shape[:-1]
         n = self.n
-        x = jnp.take(x, self.bitrev, axis=-1)
-        stage_tables = self.stage_w_inv if inverse else self.stage_w
+        q3 = self.q[:, None, :]
+        nq3 = self.nqinv[:, None, :]
+        for s in range(self.logn, 0, -1):
+            m = 1 << s
+            half = m >> 1
+            w = self.stage_w[s - 1][:, None, :]  # [n_sub, 1, half]
+            xr = x.reshape(*lead, n >> s, m)
+            lo = xr[..., :half]
+            hi = xr[..., half:]
+            x = jnp.concatenate(
+                (add_mod(lo, hi, q3),
+                 mont_mul(sub_mod(lo, hi, q3), w, q3, nq3)),
+                axis=-1).reshape(*lead, n)
+        return x
+
+    def _dit_inverse(self, x):
+        """Cooley-Tukey: bit-reversed in, natural out. No gathers."""
+        lead = x.shape[:-1]
+        n = self.n
+        q3 = self.q[:, None, :]
+        nq3 = self.nqinv[:, None, :]
         for s in range(1, self.logn + 1):
             m = 1 << s
             half = m >> 1
-            w = stage_tables[s - 1][:, None, :]  # [n_sub, 1, half]
+            w = self.stage_w_inv[s - 1][:, None, :]
             xr = x.reshape(*lead, n >> s, m)
             lo = xr[..., :half]
-            hi = mont_mul(xr[..., half:], w, self.q[:, None, :], self.nqinv[:, None, :])
+            hi = mont_mul(xr[..., half:], w, q3, nq3)
             x = jnp.concatenate(
-                (add_mod(lo, hi, self.q[:, None, :]),
-                 sub_mod(lo, hi, self.q[:, None, :])), axis=-1).reshape(*lead, n)
+                (add_mod(lo, hi, q3), sub_mod(lo, hi, q3)),
+                axis=-1).reshape(*lead, n)
         return x
 
     def ntt(self, a):
-        """Coefficient -> evaluation. Accepts unreduced planes (the twist
-        multiply performs the reduction)."""
-        return self._dft(self.mul_mont(a, self.twist), inverse=False)
+        """Coefficient -> evaluation (bit-reversed order). Accepts unreduced
+        planes (the twist multiply performs the reduction)."""
+        return self._dif_forward(self.mul_mont(a, self.twist))
 
     def intt(self, x):
-        return self.mul_mont(self._dft(x, inverse=True), self.untwist)
+        return self.mul_mont(self._dit_inverse(x), self.untwist)

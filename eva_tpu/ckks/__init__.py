@@ -13,6 +13,8 @@ from __future__ import annotations
 import sys
 from typing import Dict, Tuple
 
+from ..logging_util import DEBUG, INFO, log, verbosity_at_least, warn
+
 from ..ir import ENCODE_AT_SCALE, TYPE_ATTR, Program, TermMap, Type
 from ..passes import (ConstantFolder, ReductionCombiner, ReductionLogExpander,
                       RotationKeysSelector, TypeDeducer)
@@ -46,24 +48,30 @@ class CKKSCompiler:
 
     def _transform(self, program: Program, types: TermMap, scales: TermMap) -> None:
         rewrite = ProgramTraversal(program)
-        rewrite.forward_pass(TypeDeducer(program, types))
-        rewrite.forward_pass(ConstantFolder(program, scales))
+
+        def fwd(p):
+            log(DEBUG, "Running %s pass", type(p).__name__)
+            rewrite.forward_pass(p)
+
+        fwd(TypeDeducer(program, types))
+        fwd(ConstantFolder(program, scales))
         if self.config.balance_reductions:
-            rewrite.forward_pass(ReductionCombiner(program))
-            rewrite.forward_pass(ReductionLogExpander(program, types))
+            fwd(ReductionCombiner(program))
+            fwd(ReductionLogExpander(program, types))
         rescaler_cls = RESCALER_CLASSES[self.config.rescaler]
-        rewrite.forward_pass(rescaler_cls(program, types, scales))
-        rewrite.forward_pass(TypeDeducer(program, types))
-        rewrite.forward_pass(EncodeInserter(program, types, scales))
-        rewrite.forward_pass(TypeDeducer(program, types))
+        fwd(rescaler_cls(program, types, scales))
+        fwd(TypeDeducer(program, types))
+        fwd(EncodeInserter(program, types, scales))
+        fwd(TypeDeducer(program, types))
         if self.config.lazy_relinearize:
-            rewrite.forward_pass(LazyRelinearizer(program, types, scales))
+            fwd(LazyRelinearizer(program, types, scales))
         else:
-            rewrite.forward_pass(EagerRelinearizer(program, types, scales))
-        rewrite.forward_pass(TypeDeducer(program, types))
+            fwd(EagerRelinearizer(program, types, scales))
+        fwd(TypeDeducer(program, types))
+        log(DEBUG, "Running ModSwitcher pass (backward)")
         rewrite.backward_pass(ModSwitcher(program, types, scales))
-        rewrite.forward_pass(TypeDeducer(program, types))
-        rewrite.forward_pass(BackendLowering(program, types))
+        fwd(TypeDeducer(program, types))
+        fwd(BackendLowering(program, types))
 
     def _validate(self, program: Program, types: TermMap, scales: TermMap) -> None:
         traverse = ProgramTraversal(program)
@@ -107,18 +115,25 @@ class CKKSCompiler:
 
         slots = enc_params.poly_modulus_degree // 2
         if self.config.warn_vec_size and slots > program.vec_size:
-            print(
-                f"WARNING: Program specifies vector size {program.vec_size} "
-                f"while at least {slots} slots are required for security. "
-                "This does not affect correctness, as the smaller vector size "
-                "will be transparently emulated.", file=sys.stderr)
+            warn(
+                "Program specifies vector size %d while at least %d slots are "
+                "required for security. This does not affect correctness, as "
+                "the smaller vector size will be transparently emulated.",
+                program.vec_size, slots)
         if slots < program.vec_size:
             if self.config.warn_vec_size:
-                print(
-                    f"WARNING: Program uses vector size {program.vec_size} "
-                    f"while only {slots} slots are required for security.",
-                    file=sys.stderr)
+                warn("Program uses vector size %d while only %d slots are "
+                     "required for security.", program.vec_size, slots)
             enc_params.poly_modulus_degree = 2 * program.vec_size
+
+        if verbosity_at_least(INFO):
+            n = enc_params.poly_modulus_degree
+            log(INFO,
+                "EVA: Encryption parameters for %s are:\n  Q = %s (total bits "
+                "%d)\n  N = 2^%d (available slots %d)\n  Rotation keys: %s "
+                "(count %d)", program.name, enc_params.prime_bits, bit_count,
+                n.bit_length() - 1, n // 2, enc_params.rotations,
+                len(enc_params.rotations))
         return enc_params
 
     def _extract_signature(self, program: Program) -> CKKSSignature:
@@ -136,6 +151,7 @@ class CKKSCompiler:
     def compile(self, input_program: Program
                 ) -> Tuple[Program, CKKSParameters, CKKSSignature]:
         program = input_program.deep_copy()
+        log(INFO, "Compiling %s for CKKS with:\n%s", program.name, self.config)
 
         types = TermMap(Type.Undef)
         scales = TermMap()

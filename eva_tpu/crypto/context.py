@@ -98,11 +98,18 @@ class CKKSContext:
         return pow(5, step % order, 2 * self.n)
 
     def perm_for_elt(self, g: int) -> np.ndarray:
-        """NTT-domain permutation: out[t] = in[perm[t]] applies X -> X^g."""
+        """NTT-domain permutation: out[j] = in[perm[j]] applies X -> X^g.
+
+        In natural evaluation order the automorphism maps index t to
+        pi(t) = ((2t+1)g mod 2N - 1)/2; the stored domain is bit-reversed
+        (ntt.py), so the permutation is conjugated by the bit reversal."""
         if g not in self._perm_cache:
+            from .ntt import _bit_reverse_perm
             two_n = 2 * self.n
+            rev = _bit_reverse_perm(self.n)
             t = np.arange(self.n, dtype=np.int64)
-            self._perm_cache[g] = (((2 * t + 1) * g) % two_n - 1) // 2
+            pi = (((2 * t + 1) * g) % two_n - 1) // 2
+            self._perm_cache[g] = rev[pi[rev]]
         return self._perm_cache[g]
 
     def apply_automorphism(self, arr: np.ndarray, g: int) -> np.ndarray:

@@ -205,8 +205,14 @@ class Executor:
             if name in inputs:
                 values[term.index] = inputs[name]
 
+        from ..logging_util import DEBUG, log, verbosity_at_least
+        trace = verbosity_at_least(DEBUG)
+
         for term in self.order:
             op = term.op
+            if trace:
+                log(DEBUG, "EVA: Execute t%d = %s(%s)", term.index, op.name,
+                    ",".join(f"t{o.index}" for o in term.operands))
             if op == Op.Input:
                 if term.index not in values:
                     raise RuntimeError("Missing input for program")

@@ -57,16 +57,18 @@ class TestNTT:
         assert np.array_equal(got, np.array(c, dtype=np.uint64))
 
     def test_evaluation_ordering(self):
-        """X[t] must equal m(psi^(2t+1)) — the ordering the encoder and
-        automorphism permutations assume."""
+        """X[j] must equal m(psi^(2*rev(j)+1)) — the bit-reversed Harvey
+        ordering the automorphism permutations are conjugated against."""
+        from eva_tpu.crypto.ntt import _bit_reverse_perm
         q, n = 1073668097, 16
         t = get_table(q, n)
+        rev = _bit_reverse_perm(n)
         a = np.arange(1, n + 1, dtype=np.uint64)
         X = t.ntt(a)
-        for k in range(n):
-            val = sum(int(a[j]) * pow(t.psi, (2 * k + 1) * j, q)
-                      for j in range(n)) % q
-            assert val == int(X[k])
+        for j in range(n):
+            val = sum(int(a[k]) * pow(t.psi, (2 * int(rev[j]) + 1) * k, q)
+                      for k in range(n)) % q
+            assert val == int(X[j])
 
 
 class TestEncoder:
