@@ -1,0 +1,270 @@
+"""Pallas TPU kernel for the negacyclic NTT: four-step decomposition,
+fully VMEM-resident.
+
+The XLA stage-by-stage NTT materializes every butterfly stage to HBM
+(~30x off the bandwidth roofline). This kernel views each polynomial as
+an [N1, N2] matrix (N2 = lanes = 128), runs the column sub-DFT with
+row-sliced butterflies, applies the correction twiddle, transposes in
+VMEM, runs the second column sub-DFT, and transposes back — one HBM read
+and one write per polynomial.
+
+Ordering identity: with both sub-DFTs in decimation-in-frequency form
+(no reordering), transpose-DFT-transpose produces exactly the GLOBAL
+bit-reversed evaluation order j = rev(k) that the host tables
+(crypto/ntt.py) and the XLA path emit, because
+rev(k1 + N1*k2) = rev_N1(k1)*N2 + rev_N2(k2). Keys, ciphertexts, and
+automorphism permutations therefore interoperate unchanged, and results
+are bit-identical across all three implementations.
+
+All modular arithmetic is 32-bit Montgomery (backend/modmath.py)."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..crypto.ntt import NTTTable, _bit_reverse_perm, get_table
+from .modmath import add_mod, mont_mul, sub_mod
+
+LANES = 128
+
+
+def _to_mont(vals: np.ndarray, q: int) -> np.ndarray:
+    return ((vals.astype(np.uint64) << np.uint64(32)) % np.uint64(q)
+            ).astype(np.uint32)
+
+
+class PallasNTTTables:
+    """Precomputed per-limb tables reshaped for the four-step kernel."""
+
+    def __init__(self, primes: List[int], n: int):
+        assert n % LANES == 0 and n // LANES >= 2
+        self.primes = list(primes)
+        self.n = n
+        self.n1 = n // LANES
+        self.n2 = LANES
+        n1, n2 = self.n1, self.n2
+        n_sub = len(primes)
+
+        q_arr = np.array(primes, dtype=np.uint32)
+        self.q = q_arr
+        nqinv = np.empty(n_sub, dtype=np.uint32)
+        for i, q in enumerate(primes):
+            r = 1 << 32
+            nqinv[i] = (r - pow(q, -1, r)) % r
+        self.nqinv = nqinv
+
+        rev1 = _bit_reverse_perm(n1)
+        rev2 = _bit_reverse_perm(n2)
+
+        # Per-limb tables, all Montgomery form.
+        tw_fwd = np.empty((n_sub, n1, n2), dtype=np.uint32)   # twist*1 input
+        tw_inv = np.empty((n_sub, n1, n2), dtype=np.uint32)   # untwist output
+        corr_fwd = np.empty((n_sub, n1, n2), dtype=np.uint32)  # w^(n2*rev1(r))
+        corr_inv = np.empty((n_sub, n2, n1), dtype=np.uint32)  # w^(-n2*rev1(c))
+        # Packed DIF/DIT stage twiddles for sub-DFT sizes n1 and n2:
+        # stage with half-block h occupies [h-1, 2h-1).
+        st1_f = np.empty((n_sub, n1), dtype=np.uint32)
+        st1_i = np.empty((n_sub, n1), dtype=np.uint32)
+        st2_f = np.empty((n_sub, n2), dtype=np.uint32)
+        st2_i = np.empty((n_sub, n2), dtype=np.uint32)
+
+        for li, q in enumerate(primes):
+            t = get_table(q, n)
+            psi = t.psi
+            omega = psi * psi % q
+            omega_inv = pow(omega, q - 2, q)
+            n_inv = pow(n, q - 2, q)
+
+            # Reuse the host tables' twist/untwist (untwist has n^-1 merged).
+            tw_fwd[li] = _to_mont(t.twist, q).reshape(n1, n2)
+            tw_inv[li] = _to_mont(t.untwist, q).reshape(n1, n2)
+
+            # Correction twiddles.
+            w_n2k1 = np.empty((n1, n2), dtype=np.uint64)
+            for r in range(n1):
+                k1 = int(rev1[r])
+                base = pow(omega, k1, q)
+                row = np.empty(n2, dtype=np.uint64)
+                acc = 1
+                for c in range(n2):
+                    row[c] = acc
+                    acc = acc * base % q
+                w_n2k1[r] = row
+            corr_fwd[li] = _to_mont(w_n2k1, q)
+
+            w_inv_n2k1 = np.empty((n2, n1), dtype=np.uint64)
+            base_inv_tab = [pow(omega_inv, int(rev1[c]), q) for c in range(n1)]
+            for c in range(n1):
+                acc = 1
+                col = np.empty(n2, dtype=np.uint64)
+                for r in range(n2):
+                    col[r] = acc
+                    acc = acc * base_inv_tab[c] % q
+                w_inv_n2k1[:, c] = col
+            corr_inv[li] = _to_mont(w_inv_n2k1, q)
+
+            # Stage twiddles for cyclic sub-DFTs of size sub_n with root
+            # omega^(n/sub_n): the stage with half-block h uses powers of
+            # omega^(n/(2h)), packed at offset h-1.
+            def packed(sub_n, root):
+                out = np.zeros(sub_n, dtype=np.uint64)
+                root_sub = pow(root, n // sub_n, q)
+                h = 1
+                while h < sub_n:
+                    wm = pow(root_sub, sub_n // (2 * h), q)
+                    acc = 1
+                    for i in range(h):
+                        out[h - 1 + i] = acc
+                        acc = acc * wm % q
+                    h <<= 1
+                return out
+
+            st1_f[li] = _to_mont(packed(n1, omega), q)
+            st1_i[li] = _to_mont(packed(n1, omega_inv), q)
+            st2_f[li] = _to_mont(packed(n2, omega), q)
+            st2_i[li] = _to_mont(packed(n2, omega_inv), q)
+
+        self.tw_fwd = tw_fwd
+        self.tw_inv = tw_inv
+        self.corr_fwd = corr_fwd
+        self.corr_inv = corr_inv
+        self.st1_f, self.st1_i = st1_f, st1_i
+        self.st2_f, self.st2_i = st2_f, st2_i
+
+
+def _sub_dif(x, packed_w, q, nqinv, size):
+    """DIF sub-DFT along axis 0 (natural in, bit-reversed out).
+    x: [size, lanes]; packed_w: [size] column twiddles."""
+    m = size
+    while m >= 2:
+        half = m >> 1
+        w = packed_w[half - 1:2 * half - 1]  # [half, 1]
+        parts = []
+        for blk in range(0, size, m):
+            lo = x[..., blk:blk + half, :]
+            hi = x[..., blk + half:blk + m, :]
+            parts.append(add_mod(lo, hi, q))
+            parts.append(mont_mul(sub_mod(lo, hi, q), w, q, nqinv))
+        x = jnp.concatenate(parts, axis=-2)
+        m >>= 1
+    return x
+
+
+def _sub_dit(x, packed_w, q, nqinv, size):
+    """DIT sub-DFT along axis 0 (bit-reversed in, natural out)."""
+    m = 2
+    while m <= size:
+        half = m >> 1
+        w = packed_w[half - 1:2 * half - 1]  # [half, 1]
+        parts = []
+        for blk in range(0, size, m):
+            lo = x[..., blk:blk + half, :]
+            hi = mont_mul(x[..., blk + half:blk + m, :], w, q, nqinv)
+            parts.append(add_mod(lo, hi, q))
+            parts.append(sub_mod(lo, hi, q))
+        x = jnp.concatenate(parts, axis=-2)
+        m <<= 1
+    return x
+
+
+def _fwd_kernel(n1, n2):
+    def kernel(x_ref, tw_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+        limb = pl.program_id(0)
+        q = qs_ref[limb, 0]
+        nqinv = qs_ref[limb, 1]
+        x = x_ref[:, 0]                                # [C, n1, n2]
+        x = mont_mul(x, tw_ref[0], q, nqinv)           # negacyclic twist
+        x = _sub_dif(x, st1_ref[0], q, nqinv, n1)      # column DFT (k1)
+        x = mont_mul(x, corr_ref[0], q, nqinv)         # correction twiddle
+        x = x.swapaxes(-1, -2)                         # [C, n2, n1]
+        x = _sub_dif(x, st2_ref[0], q, nqinv, n2)      # column DFT (k2)
+        out_ref[:, 0] = x.swapaxes(-1, -2)             # bit-rev order
+    return kernel
+
+
+def _inv_kernel(n1, n2):
+    def kernel(x_ref, tw_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+        limb = pl.program_id(0)
+        q = qs_ref[limb, 0]
+        nqinv = qs_ref[limb, 1]
+        x = x_ref[:, 0]                                # [C, n1, n2] bit-rev
+        x = x.swapaxes(-1, -2)                         # [C, n2, n1]
+        x = _sub_dit(x, st2_ref[0], q, nqinv, n2)      # inverse over k2
+        x = mont_mul(x, corr_ref[0], q, nqinv)         # inverse correction
+        x = x.swapaxes(-1, -2)                         # [C, n1, n2]
+        x = _sub_dit(x, st1_ref[0], q, nqinv, n1)      # inverse over k1
+        out_ref[:, 0] = mont_mul(x, tw_ref[0], q, nqinv)  # untwist * n^-1
+    return kernel
+
+
+class PallasNTT:
+    """Batched NTT/iNTT over [..., n_sub, N] uint32 planes."""
+
+    def __init__(self, primes: List[int], n: int):
+        self.t = PallasNTTTables(primes, n)
+        self.n = n
+        n_sub = len(primes)
+        # Scalar params per limb: (q, nqinv).
+        self.qs = np.stack([self.t.q, self.t.nqinv], axis=1)  # [n_sub, 2]
+
+    def _call(self, x, kernel_factory, tw, corr, st1, st2):
+        t = self.t
+        n1, n2 = t.n1, t.n2
+        lead = x.shape[:-1]
+        n_sub = lead[-1]
+        xr = x.reshape(-1, n_sub, n1, n2)
+        batch = xr.shape[0]
+        chunk = 1
+        for c in (8, 4, 2):
+            if batch % c == 0:
+                chunk = c
+                break
+        grid = (n_sub, batch // chunk)
+        kernel = kernel_factory(n1, n2)
+        interpret = jax.default_backend() != "tpu"
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            interpret=interpret,
+            in_specs=[
+                pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + tw.shape[1:], lambda l, b: (l,) + (0,) * (tw.ndim - 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1,) + corr.shape[1:], lambda l, b: (l,) + (0,) * (corr.ndim - 1),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, st1.shape[-1], 1), lambda l, b: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, st2.shape[-1], 1), lambda l, b: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_sub, 2), lambda l, b: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((batch, n_sub, n1, n2), jnp.uint32),
+        )(xr, tw, corr, st1[..., None], st2[..., None], self.qs)
+        return out.reshape(*lead, self.n)
+
+    def ntt(self, x):
+        t = self.t
+        return self._call(x, _fwd_kernel, t.tw_fwd, t.corr_fwd,
+                          t.st1_f, t.st2_f)
+
+    def intt(self, x):
+        t = self.t
+        return self._call(x, _inv_kernel, t.tw_inv, t.corr_inv,
+                          t.st1_i, t.st2_i)
+
+
+@lru_cache(maxsize=None)
+def get_pallas_ntt(primes: Tuple[int, ...], n: int) -> PallasNTT:
+    return PallasNTT(list(primes), n)

@@ -115,10 +115,30 @@ class DeviceLevelOps:
                 axis=-1).reshape(*lead, n)
         return x
 
+    def _pallas(self):
+        """The VMEM-resident four-step Pallas kernel, when eligible (real
+        TPU backend, N large enough to tile as [N/128, 128])."""
+        import os
+        if os.environ.get("EVA_TPU_NO_PALLAS"):
+            return None
+        import jax
+        if jax.default_backend() != "tpu" or self.n < 1024:
+            return None
+        if not hasattr(self, "_pallas_ntt"):
+            from .pallas_ntt import get_pallas_ntt
+            self._pallas_ntt = get_pallas_ntt(tuple(self.primes), self.n)
+        return self._pallas_ntt
+
     def ntt(self, a):
         """Coefficient -> evaluation (bit-reversed order). Accepts unreduced
         planes (the twist multiply performs the reduction)."""
+        p = self._pallas()
+        if p is not None:
+            return p.ntt(a)
         return self._dif_forward(self.mul_mont(a, self.twist))
 
     def intt(self, x):
+        p = self._pallas()
+        if p is not None:
+            return p.intt(x)
         return self.mul_mont(self._dit_inverse(x), self.untwist)

@@ -436,6 +436,25 @@ class Program:
             clone._outputs[name] = mapping[term.index]
         return clone
 
+    def dump(self, scales=None, types=None, levels=None) -> str:
+        """Human-readable text dump, one term per line, with optional
+        side-table annotations (reference: eva/ir/program.cpp:96-160)."""
+        lines = [f"Program {self._name} (vec_size={self._vec_size})"]
+        for term in self.topological_order():
+            parts = [f"t{term.index} = {term.op.name}("
+                     + ",".join(f"t{o.index}" for o in term.operands) + ")"]
+            for key, value in sorted(term.attributes.items()):
+                name = ATTRIBUTE_NAMES.get(key, str(key))
+                if key == CONSTANT_VALUE:
+                    value = type(value).__name__
+                parts.append(f"{name}={value}")
+            for label, table in (("scale", scales), ("type", types),
+                                 ("level", levels)):
+                if table is not None and term in table:
+                    parts.append(f"{label}={table[term]}")
+            lines.append("  " + " ".join(str(p) for p in parts))
+        return "\n".join(lines)
+
     def to_DOT(self) -> str:
         lines = ["digraph \"%s\" {" % self._name]
         for term in self.topological_order():

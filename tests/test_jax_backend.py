@@ -80,3 +80,42 @@ class TestJaxEndToEnd:
         prog.set_output_ranges(20)
         prog.set_input_scales(30)
         compile_and_check(prog, backend="jax")
+
+
+class TestPallasNTT:
+    """Four-step Pallas kernel vs host tables (interpret mode on CPU;
+    the same kernel compiles via Mosaic on TPU)."""
+
+    def test_bit_exact_and_roundtrip(self):
+        from eva_tpu.crypto.primes import build_chain
+        from eva_tpu.backend.pallas_ntt import get_pallas_ntt
+        n = 2048
+        chain = build_chain([60, 40], n)
+        primes = tuple(q for e in chain for q in e.primes)
+        pn = get_pallas_ntt(primes, n)
+        rng = np.random.default_rng(7)
+        x = np.stack([rng.integers(0, q, n, dtype=np.uint64).astype(np.uint32)
+                      for q in primes])
+        ref = np.stack([get_table(q, n).ntt(x[i].astype(np.uint64))
+                        for i, q in enumerate(primes)])
+        got = np.asarray(pn.ntt(x)).astype(np.uint64)
+        assert np.array_equal(got, ref)
+        back = np.asarray(pn.intt(got.astype(np.uint32))).astype(np.uint64)
+        assert np.array_equal(back, x.astype(np.uint64))
+
+    def test_batched_chunking(self):
+        from eva_tpu.crypto.primes import build_chain
+        from eva_tpu.backend.pallas_ntt import get_pallas_ntt
+        n = 1024
+        chain = build_chain([40, 40], n)
+        primes = tuple(q for e in chain for q in e.primes)
+        pn = get_pallas_ntt(primes, n)
+        rng = np.random.default_rng(8)
+        xb = np.stack([
+            np.stack([rng.integers(0, q, n, dtype=np.uint64).astype(np.uint32)
+                      for q in primes]) for _ in range(8)])
+        got = np.asarray(pn.ntt(xb)).astype(np.uint64)
+        for b in range(8):
+            ref = np.stack([get_table(q, n).ntt(xb[b, i].astype(np.uint64))
+                            for i, q in enumerate(primes)])
+            assert np.array_equal(got[b], ref)
