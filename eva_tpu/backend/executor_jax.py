@@ -111,13 +111,15 @@ class JaxProgram:
             list(range(n_cur)) + [n_all_data + i
                                   for i in range(len(ctx.key_primes))])
 
-        coeffs = dev.intt(poly)  # [n_cur, N]
-        acc0 = jnp.zeros((len(primes) + len(ctx.key_primes), ctx.n), jnp.uint32)
+        coeffs = dev.intt(poly)  # [..., n_cur, N]
+        ext_shape = coeffs.shape[:-2] + (len(primes) + len(ctx.key_primes),
+                                         ctx.n)
+        acc0 = jnp.zeros(ext_shape, jnp.uint32)
         acc1 = jnp.zeros_like(acc0)
         for j in range(n_cur):
             # Digit broadcast: the raw row is a valid unreduced input; the
             # NTT twist performs per-prime reduction.
-            d = jnp.broadcast_to(coeffs[j][None, :], acc0.shape)
+            d = jnp.broadcast_to(coeffs[..., j:j + 1, :], ext_shape)
             d_ntt = ext.ntt(d)
             acc0 = ext.add(acc0, ext.mul_mont(d_ntt, ksk0[j][row_idx]))
             acc1 = ext.add(acc1, ext.mul_mont(d_ntt, ksk1[j][row_idx]))
@@ -142,16 +144,17 @@ class JaxProgram:
         p = primes[-1]
         rest = primes[:-1]
         dev = level_ops(rest, self.ctx.n)
-        lift = coeffs[-1]  # [N] standard residues < p
+        lift = coeffs[..., -1, :]  # [..., N] standard residues < p
         flag_high = lift > (p // 2)  # centered lift is negative
         pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
         for i, q in enumerate(rest):
             inv = pow(p % q, q - 2, q)
             pinv_mont[i, 0] = (inv << 32) % q
-        v = coeffs[:-1] + (np.uint32(p) - lift)[None, :]  # < 2^32, no wrap
+        # < 2^32, no wrap
+        v = coeffs[..., :-1, :] + (np.uint32(p) - lift)[..., None, :]
         r = dev.mul_mont(v, pinv_mont)
         # When lift <= p/2 we computed (x - lift + p)/p = want + 1.
-        corr = jnp.where(flag_high[None, :], jnp.uint32(0), jnp.uint32(1))
+        corr = jnp.where(flag_high[..., None, :], jnp.uint32(0), jnp.uint32(1))
         return dev.sub(r, corr)
 
     def _rescale(self, polys, level: int):
@@ -209,9 +212,9 @@ class JaxProgram:
                 v = vals[args[0].index]
                 keep = len(ctx.primes_at_level(p.level))
                 if isinstance(v, tuple):
-                    vals[idx] = ("plain", v[1][:keep])
+                    vals[idx] = ("plain", v[1][..., :keep, :])
                 else:
-                    vals[idx] = [c[:keep] for c in v]
+                    vals[idx] = [c[..., :keep, :] for c in v]
             elif op == Op.Rescale:
                 prev = self.plan[args[0].index]
                 vals[idx] = self._rescale(vals[args[0].index], prev.level)
@@ -276,13 +279,59 @@ class JaxProgram:
             return list(polys)
         g = ctx.galois_elt(steps)
         perm = ctx.perm_for_elt(g)
-        c0 = jnp.take(polys[0], perm, axis=1)
-        c1 = jnp.take(polys[1], perm, axis=1)
+        c0 = jnp.take(polys[0], perm, axis=-1)
+        c1 = jnp.take(polys[1], perm, axis=-1)
         k0, k1 = self.dkeys.galois[g]
         d0, d1 = self._key_switch(c1, level, k0, k1)
         return [dev.add(c0, d0), d1]
 
     # -- run -----------------------------------------------------------------
+
+    def run_batched(self, host_values_list, mesh=None):
+        """Execute one compiled program over a BATCH of input valuations.
+
+        Stacks each cipher/plain input along a leading batch axis
+        ([B, n_sub, N] planes); every device op broadcasts over leading
+        dims, so the same traced program executes the whole batch in one
+        XLA invocation. With a mesh, the batch axis is sharded across
+        devices (embarrassingly parallel; the reference's multicore
+        task-parallelism mapped to chips; SURVEY.md §2.9)."""
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def place(arr):
+            if mesh is None:
+                return arr
+            return _jax.device_put(arr, NamedSharding(mesh, P("batch")))
+
+        batch = len(host_values_list)
+        cipher_in = {}
+        plain_in = {}
+        first = host_values_list[0]
+        for idx, v in first.items():
+            key = f"t{idx}"
+            if isinstance(v, Ciphertext):
+                cipher_in[key] = [
+                    place(jnp.asarray(np.stack(
+                        [_to_u32(hv[idx].polys[k]) for hv in host_values_list])))
+                    for k in range(v.size)]
+            elif isinstance(v, Plaintext):
+                plain_in[key] = place(jnp.asarray(np.stack(
+                    [_to_u32(hv[idx].poly) for hv in host_values_list])))
+        out = self._jitted(cipher_in, plain_in)
+        results = [dict() for _ in range(batch)]
+        for name, t in self.program.outputs.items():
+            if self.types[t] == Type.Raw:
+                continue
+            planes = [np.asarray(c).astype(np.uint64) for c in out[name]]
+            p = self.plan[t.index]
+            for b in range(batch):
+                if self.types[t] == Type.Plain:
+                    results[b][name] = Plaintext(planes[0][b], p.level, p.scale)
+                else:
+                    results[b][name] = Ciphertext(
+                        [pl[b] for pl in planes], p.level, p.scale)
+        return results
 
     def run(self, host_values: Dict[int, object]) -> Dict[str, Ciphertext]:
         """host_values: term index -> Ciphertext (inputs) or Plaintext

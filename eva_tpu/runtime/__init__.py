@@ -66,14 +66,24 @@ class EVAPublic:
                 out[name] = np.asarray(values, dtype=np.float64)
         return out
 
-    def execute(self, program, inputs: EVAValuation) -> EVAValuation:
+    def _executor_for(self, program) -> Executor:
         executor = self._executors.get(id(program))
         if executor is None or executor.program is not program:
             executor = Executor(program, self.ctx, self._keys,
                                 backend=self.backend)
             self._executors[id(program)] = executor
-        outputs = executor.run(inputs)
+        return executor
+
+    def execute(self, program, inputs: EVAValuation) -> EVAValuation:
+        outputs = self._executor_for(program).run(inputs)
         return EVAValuation(self.params, outputs)
+
+    def execute_batch(self, program, inputs_list, mesh=None):
+        """Execute one compiled program over a batch of valuations in a
+        single device invocation, optionally sharding the batch axis over
+        a device mesh (jax backend). Returns a list of EVAValuations."""
+        results = self._executor_for(program).run_batch(inputs_list, mesh=mesh)
+        return [EVAValuation(self.params, r) for r in results]
 
 
 class EVASecret:

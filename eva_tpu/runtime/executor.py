@@ -148,11 +148,29 @@ class Executor:
             return self._run_jax(inputs)
         return self._run_numpy(inputs)
 
-    def _run_jax(self, inputs: Dict) -> Dict:
-        """Host-compute Raw subgraphs and plaintext encodes, then hand the
-        cipher DAG to the whole-graph XLA executor."""
+    def run_batch(self, inputs_list, mesh=None):
+        """Execute over a batch of valuations (jax backend only):
+        host-phase each element, then one sharded device invocation."""
         from ..backend.executor_jax import JaxProgram
 
+        assert self.backend == "jax", "batched execution requires the jax backend"
+        pairs = [self._host_phase(inputs) for inputs in inputs_list]
+        prepared = [p[0] for p in pairs]
+        raws = [p[1] for p in pairs]
+        if self._jax_program is None:
+            self._jax_program = JaxProgram(
+                self.program, self.ctx, self.keys, self.plan, self.types,
+                self.order)
+        results = self._jax_program.run_batched(prepared, mesh=mesh)
+        for b, raw_vals in enumerate(raws):
+            for name, t in self.program.outputs.items():
+                if self.types[t] == Type.Raw:
+                    results[b][name] = raw_vals[t.operands[0].index]
+        return results
+
+    def _host_phase(self, inputs: Dict):
+        """Compute Raw subgraphs and plaintext encodes on host; returns
+        (host_values for the device program, raw term values)."""
         ctx = self.ctx
         vec_size = self.program.vec_size
         host_values: Dict[int, object] = {}
@@ -186,9 +204,18 @@ class Executor:
                                  dtype=np.float64)
                 host_values[term.index] = K.encode(ctx, raw, p.scale, p.level)
 
+        return host_values, raw_vals
+
+    def _run_jax(self, inputs: Dict) -> Dict:
+        """Host-compute Raw subgraphs and plaintext encodes, then hand the
+        cipher DAG to the whole-graph XLA executor."""
+        from ..backend.executor_jax import JaxProgram
+
+        host_values, raw_vals = self._host_phase(inputs)
         if self._jax_program is None:
             self._jax_program = JaxProgram(
-                self.program, ctx, self.keys, self.plan, self.types, self.order)
+                self.program, self.ctx, self.keys, self.plan, self.types,
+                self.order)
         outputs = self._jax_program.run(host_values)
 
         for name, t in self.program.outputs.items():

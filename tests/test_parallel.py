@@ -59,3 +59,36 @@ class TestMesh:
         out = jax.jit(fn)(*args)
         assert out.dtype == jnp.uint32
         mod.dryrun_multichip(8)
+
+
+class TestBatchedExecution:
+    def test_execute_batch_sharded_matches_single(self):
+        import random
+        random.seed(77)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("batched", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + (x << 1) - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(8)]
+        refs = [evaluate(prog, b) for b in batch_inputs]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        mesh = make_device_mesh(8, limb_axis=1)
+        outs = pub.execute_batch(compiled, encs, mesh=mesh)
+        for out, ref in zip(outs, refs):
+            assert valuation_mse(sec.decrypt(out, sig), ref) < 0.01
+        # The batch path must agree exactly with single execution.
+        single = sec.decrypt(pub.execute(compiled, encs[0]), sig)
+        batched0 = sec.decrypt(outs[0], sig)
+        assert np.allclose(single["y"], batched0["y"], atol=1e-9)
