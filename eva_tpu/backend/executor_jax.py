@@ -90,6 +90,25 @@ class JaxProgram:
         self.order = order
         self.dkeys = device_keys(ctx, keys)
         self._jitted = jax.jit(self._traced)
+        self._sharded_cache: Dict[int, object] = {}
+
+    def _sharded_jit(self, mesh, cipher_in, plain_in):
+        """jit(shard_map(traced)) for a mesh, cached per mesh (Pallas
+        kernels cannot be auto-partitioned; shard_map runs the program
+        per-shard on each device's local batch slice)."""
+        key = id(mesh)
+        if key not in self._sharded_cache:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            specs = jax.tree.map(lambda _: P("batch"), (cipher_in, plain_in))
+            out_specs = jax.tree.map(
+                lambda _: P("batch"),
+                jax.eval_shape(self._traced, cipher_in, plain_in))
+            self._sharded_cache[key] = jax.jit(shard_map(
+                lambda c, p: self._traced(c, p),
+                mesh=mesh, in_specs=specs, out_specs=out_specs,
+                check_rep=False))
+        return self._sharded_cache[key]
 
     # -- device op helpers ---------------------------------------------------
 
@@ -294,17 +313,32 @@ class JaxProgram:
         ([B, n_sub, N] planes); every device op broadcasts over leading
         dims, so the same traced program executes the whole batch in one
         XLA invocation. With a mesh, the batch axis is sharded across
-        devices (embarrassingly parallel; the reference's multicore
-        task-parallelism mapped to chips; SURVEY.md §2.9)."""
+        devices via shard_map — Pallas (Mosaic) kernels cannot be
+        auto-partitioned by jit, so the program runs per-shard on each
+        device's local batch slice (embarrassingly parallel; the
+        reference's multicore task-parallelism mapped to chips;
+        SURVEY.md §2.9). Batches not divisible by the mesh's batch axis
+        are padded with copies of the last element and trimmed after."""
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch = len(host_values_list)
+        if batch == 0:
+            return []
+        pad = 0
+        if mesh is not None:
+            n_batch_devices = mesh.shape["batch"]
+            rem = batch % n_batch_devices
+            if rem:
+                pad = n_batch_devices - rem
+                host_values_list = (list(host_values_list)
+                                    + [host_values_list[-1]] * pad)
 
         def place(arr):
             if mesh is None:
                 return arr
             return _jax.device_put(arr, NamedSharding(mesh, P("batch")))
 
-        batch = len(host_values_list)
         cipher_in = {}
         plain_in = {}
         first = host_values_list[0]
@@ -318,7 +352,12 @@ class JaxProgram:
             elif isinstance(v, Plaintext):
                 plain_in[key] = place(jnp.asarray(np.stack(
                     [_to_u32(hv[idx].poly) for hv in host_values_list])))
-        out = self._jitted(cipher_in, plain_in)
+
+        if mesh is None:
+            out = self._jitted(cipher_in, plain_in)
+        else:
+            out = self._sharded_jit(mesh, cipher_in, plain_in)(
+                cipher_in, plain_in)
         results = [dict() for _ in range(batch)]
         for name, t in self.program.outputs.items():
             if self.types[t] == Type.Raw:

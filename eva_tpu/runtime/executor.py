@@ -51,6 +51,8 @@ class Executor:
         self.order = program.topological_order()
         self.plan: Dict[int, TermPlan] = {}
         self._jax_program = None
+        self._encode_cache: Dict[int, object] = {}
+        self._input_free: Dict[int, bool] = {}
         self._make_plan()
 
     # -- planning ------------------------------------------------------------
@@ -148,6 +150,28 @@ class Executor:
             return self._run_jax(inputs)
         return self._run_numpy(inputs)
 
+    def _get_jax_program(self):
+        if self._jax_program is None:
+            from ..backend.executor_jax import JaxProgram
+            self._jax_program = JaxProgram(
+                self.program, self.ctx, self.keys, self.plan, self.types,
+                self.order)
+        return self._jax_program
+
+    def _is_input_free(self, term) -> bool:
+        """True when no Op.Input occurs in the term's operand cone (the
+        term's value is identical across executions/batch elements)."""
+        idx = term.index
+        cached = self._input_free.get(idx)
+        if cached is not None:
+            return cached
+        if term.op == Op.Input:
+            result = False
+        else:
+            result = all(self._is_input_free(o) for o in term.operands)
+        self._input_free[idx] = result
+        return result
+
     def run_batch(self, inputs_list, mesh=None):
         """Execute over a batch of valuations (jax backend only):
         host-phase each element, then one sharded device invocation."""
@@ -157,11 +181,7 @@ class Executor:
         pairs = [self._host_phase(inputs) for inputs in inputs_list]
         prepared = [p[0] for p in pairs]
         raws = [p[1] for p in pairs]
-        if self._jax_program is None:
-            self._jax_program = JaxProgram(
-                self.program, self.ctx, self.keys, self.plan, self.types,
-                self.order)
-        results = self._jax_program.run_batched(prepared, mesh=mesh)
+        results = self._get_jax_program().run_batched(prepared, mesh=mesh)
         for b, raw_vals in enumerate(raws):
             for name, t in self.program.outputs.items():
                 if self.types[t] == Type.Raw:
@@ -199,10 +219,19 @@ class Executor:
                 raw_vals[term.index] = np.asarray(
                     term.get_attr(CONSTANT_VALUE).expand(vec_size))
             elif term.op == Op.Encode:
+                # Constant-only encodes are identical across executions and
+                # batch elements; cache them (host FFT encode is the slow
+                # host-side step).
+                if term.index in self._encode_cache:
+                    host_values[term.index] = self._encode_cache[term.index]
+                    continue
                 p = self.plan[term.index]
                 raw = np.asarray(raw_vals[term.operands[0].index],
                                  dtype=np.float64)
-                host_values[term.index] = K.encode(ctx, raw, p.scale, p.level)
+                pt = K.encode(ctx, raw, p.scale, p.level)
+                host_values[term.index] = pt
+                if self._is_input_free(term):
+                    self._encode_cache[term.index] = pt
 
         return host_values, raw_vals
 
@@ -212,11 +241,7 @@ class Executor:
         from ..backend.executor_jax import JaxProgram
 
         host_values, raw_vals = self._host_phase(inputs)
-        if self._jax_program is None:
-            self._jax_program = JaxProgram(
-                self.program, self.ctx, self.keys, self.plan, self.types,
-                self.order)
-        outputs = self._jax_program.run(host_values)
+        outputs = self._get_jax_program().run(host_values)
 
         for name, t in self.program.outputs.items():
             if self.types[t] == Type.Raw:

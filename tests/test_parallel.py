@@ -92,3 +92,31 @@ class TestBatchedExecution:
         single = sec.decrypt(pub.execute(compiled, encs[0]), sig)
         batched0 = sec.decrypt(outs[0], sig)
         assert np.allclose(single["y"], batched0["y"], atol=1e-9)
+
+    def test_execute_batch_uneven_and_empty(self):
+        import random
+        random.seed(78)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("uneven", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", x * x + 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        mesh = make_device_mesh(8, limb_axis=1)
+        assert pub.execute_batch(compiled, [], mesh=mesh) == []
+        # 5 elements on an 8-device mesh: padded internally, trimmed after.
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(8)]}
+                        for _ in range(5)]
+        outs = pub.execute_batch(
+            compiled, [pub.encrypt(b, sig) for b in batch_inputs], mesh=mesh)
+        assert len(outs) == 5
+        for out, b in zip(outs, batch_inputs):
+            assert valuation_mse(sec.decrypt(out, sig), evaluate(prog, b)) < 0.01
