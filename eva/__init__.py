@@ -4,6 +4,7 @@ implementation from eva_tpu."""
 
 from eva_tpu import (EvaProgram, Expr, Input, Op, Output, Program, Term,
                      Type, evaluate, load, py_to_eva, save, set_num_threads)
+from eva_tpu import __version__
 
 __all__ = [
     "EvaProgram", "Expr", "Input", "Op", "Output", "Program", "Term",

@@ -119,29 +119,51 @@ class JaxProgram:
         return level_ops(self.ctx.primes_at_level(level) + self.ctx.key_primes,
                          self.ctx.n)
 
-    def _key_switch(self, poly, level: int, ksk0, ksk1):
+    def _ks_digits(self, poly, level: int):
+        """Gadget decomposition digits, NTT'd in the extended basis — the
+        dominant key-switch cost (n_cur * n_ext limb NTTs). Separated so
+        hoisted rotations can compute it ONCE per source ciphertext."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        dev = self._ops_at(level)
+        ext = self._ext_ops_at(level)
+        coeffs = dev.intt(poly)  # [..., n_cur, N]
+        ext_shape = coeffs.shape[:-2] + (len(primes) + len(ctx.key_primes),
+                                         ctx.n)
+        digits = []
+        for j in range(len(primes)):
+            # Digit broadcast: the raw row is a valid unreduced input; the
+            # NTT twist performs per-prime reduction.
+            d = jnp.broadcast_to(coeffs[..., j:j + 1, :], ext_shape)
+            digits.append(ext.ntt(d))
+        return digits
+
+    def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None):
+        """Inner product of (optionally permuted) digits with a key-switch
+        key, followed by division by the special modulus P.
+
+        `perm` applies a Galois automorphism in the NTT domain. Digit
+        decomposition commutes with automorphisms coefficient-wise
+        (D_j(sigma(x)) = sigma(D_j(x)), residues mod q_j are permuted with
+        sign exactly like coefficients), so hoisted rotations permute the
+        shared digit NTTs instead of re-decomposing."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
         n_cur = len(primes)
-        dev = self._ops_at(level)
         ext = self._ext_ops_at(level)
         n_all_data = len(ctx.data_primes)
         row_idx = np.array(
             list(range(n_cur)) + [n_all_data + i
                                   for i in range(len(ctx.key_primes))])
-
-        coeffs = dev.intt(poly)  # [..., n_cur, N]
-        ext_shape = coeffs.shape[:-2] + (len(primes) + len(ctx.key_primes),
-                                         ctx.n)
-        acc0 = jnp.zeros(ext_shape, jnp.uint32)
-        acc1 = jnp.zeros_like(acc0)
-        for j in range(n_cur):
-            # Digit broadcast: the raw row is a valid unreduced input; the
-            # NTT twist performs per-prime reduction.
-            d = jnp.broadcast_to(coeffs[..., j:j + 1, :], ext_shape)
-            d_ntt = ext.ntt(d)
-            acc0 = ext.add(acc0, ext.mul_mont(d_ntt, ksk0[j][row_idx]))
-            acc1 = ext.add(acc1, ext.mul_mont(d_ntt, ksk1[j][row_idx]))
+        acc0 = None
+        acc1 = None
+        for j, d_ntt in enumerate(digits):
+            if perm is not None:
+                d_ntt = jnp.take(d_ntt, perm, axis=-1)
+            t0 = ext.mul_mont(d_ntt, ksk0[j][row_idx])
+            t1 = ext.mul_mont(d_ntt, ksk1[j][row_idx])
+            acc0 = t0 if acc0 is None else ext.add(acc0, t0)
+            acc1 = t1 if acc1 is None else ext.add(acc1, t1)
 
         def div_p(acc):
             coeffs_ext = ext.intt(acc)
@@ -153,6 +175,9 @@ class JaxProgram:
             return level_ops(prim, ctx.n).ntt(x)
 
         return div_p(acc0), div_p(acc1)
+
+    def _key_switch(self, poly, level: int, ksk0, ksk1):
+        return self._ks_apply(self._ks_digits(poly, level), level, ksk0, ksk1)
 
     def _divide_last(self, coeffs, primes: List[int]):
         """Divide-and-round coefficient planes by the last prime.
@@ -197,6 +222,7 @@ class JaxProgram:
                 plain_in: Dict[str, jnp.ndarray]):
         ctx = self.ctx
         vals: Dict[int, object] = {}
+        hoist: Dict[int, list] = {}  # per-source rotation digit cache
 
         for name, term in self.program.inputs.items():
             key = f"t{term.index}"
@@ -224,7 +250,8 @@ class JaxProgram:
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
-                vals[idx] = self._rotate(vals[args[0].index], steps, p.level, dev)
+                vals[idx] = self._rotate(vals[args[0].index], steps, p.level,
+                                         dev, hoist, args[0].index)
             elif op == Op.Relinearize:
                 vals[idx] = self._relin(vals[args[0].index], p.level, dev)
             elif op == Op.ModSwitch:
@@ -292,16 +319,27 @@ class JaxProgram:
         d0, d1 = self._key_switch(polys[2], level, k0, k1)
         return [dev.add(polys[0], d0), dev.add(polys[1], d1)]
 
-    def _rotate(self, polys, steps: int, level: int, dev: DeviceLevelOps):
+    def _rotate(self, polys, steps: int, level: int, dev: DeviceLevelOps,
+                hoist=None, src_key=None):
+        """Galois rotation. With a hoist cache, the digit decomposition of
+        the source c1 is computed once and PERMUTED per rotation (classic
+        hoisting): n rotations of one ciphertext cost one decomposition
+        instead of n."""
         ctx = self.ctx
         if steps % (ctx.n // 2) == 0:
             return list(polys)
         g = ctx.galois_elt(steps)
         perm = ctx.perm_for_elt(g)
         c0 = jnp.take(polys[0], perm, axis=-1)
-        c1 = jnp.take(polys[1], perm, axis=-1)
         k0, k1 = self.dkeys.galois[g]
-        d0, d1 = self._key_switch(c1, level, k0, k1)
+        if hoist is not None and src_key is not None:
+            digits = hoist.get(src_key)
+            if digits is None:
+                digits = self._ks_digits(polys[1], level)
+                hoist[src_key] = digits
+        else:
+            digits = self._ks_digits(polys[1], level)
+        d0, d1 = self._ks_apply(digits, level, k0, k1, perm=perm)
         return [dev.add(c0, d0), d1]
 
     # -- run -----------------------------------------------------------------
