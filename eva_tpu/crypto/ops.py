@@ -98,38 +98,45 @@ def multiply_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
 # -- key switching -----------------------------------------------------------
 
 
-def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
-                ksk: KSwitchKey):
-    """Switch one NTT-domain polynomial to the secret key the ksk targets.
+def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int):
+    """Per-sub-prime gadget digits, NTT'd in the extended basis — the
+    dominant key-switch cost. Hoisted rotations share this across all
+    rotations of one source ciphertext."""
+    primes = ctx.primes_at_level(level)
+    basis = primes + ctx.key_primes
+    coeffs = ctx.intt(poly_ntt, primes)
+    digits = []
+    for j in range(len(primes)):
+        # Broadcast the residue row into every basis prime (each digit
+        # value < q_j < 2^31).
+        d = np.empty((len(basis), ctx.n), dtype=np.uint64)
+        for i, q in enumerate(basis):
+            d[i] = coeffs[j] % np.uint64(q)
+        digits.append(ctx.ntt(d, basis))
+    return digits
 
-    Returns (d0, d1): NTT-domain [n_cur, N] planes to be added to the
-    ciphertext. Pipeline: iNTT -> per-entry CRT digits -> NTT in extended
-    basis -> inner product with key -> iNTT -> divide by P -> NTT."""
+
+def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
+              perm=None):
+    """Inner product of (optionally automorphism-permuted) digits with a
+    key-switch key, then division by the special modulus P (key
+    sub-primes dropped one at a time with divide-and-round)."""
     primes = ctx.primes_at_level(level)
     n_cur = len(primes)
     basis = primes + ctx.key_primes
     qv_ext = ctx.qvec(basis)
-
-    coeffs = ctx.intt(poly_ntt, primes)
-
     acc0 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     acc1 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     key_rows = [len(ctx.data_primes) + i for i in range(len(ctx.key_primes))]
     row_idx = list(range(n_cur)) + key_rows
-    for j in range(n_cur):
-        # Per-sub-prime digit: broadcast the residue row into every basis
-        # prime (each digit value < q_j < 2^31).
-        d = np.empty((len(basis), ctx.n), dtype=np.uint64)
-        for i, q in enumerate(basis):
-            d[i] = coeffs[j] % np.uint64(q)
-        d_ntt = ctx.ntt(d, basis)
+    for j, d_ntt in enumerate(digits):
+        if perm is not None:
+            d_ntt = d_ntt[:, perm]
         k0 = ksk.k0[j][row_idx]
         k1 = ksk.k1[j][row_idx]
         acc0 = (acc0 + (d_ntt * k0) % qv_ext) % qv_ext
         acc1 = (acc1 + (d_ntt * k1) % qv_ext) % qv_ext
 
-    # Divide by the key-prime product: drop key sub-primes one at a time
-    # with divide-and-round (rounding error <= 1/2 per step).
     def _div_p(acc):
         coeffs_ext = ctx.intt(acc, basis)
         prim = list(basis)
@@ -139,6 +146,13 @@ def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
         return ctx.ntt(coeffs_ext, primes)
 
     return _div_p(acc0), _div_p(acc1)
+
+
+def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
+                ksk: KSwitchKey):
+    """Switch one NTT-domain polynomial to the secret key the ksk targets.
+    Returns (d0, d1): NTT-domain [n_cur, N] planes to add to the ciphertext."""
+    return _ks_apply(ctx, _ks_digits(ctx, poly_ntt, level), level, ksk)
 
 
 def relinearize(ctx: CKKSContext, keys: KeySet, a: Ciphertext) -> Ciphertext:
@@ -153,18 +167,34 @@ def relinearize(ctx: CKKSContext, keys: KeySet, a: Ciphertext) -> Ciphertext:
     ], a.level, a.scale)
 
 
-def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int) -> Ciphertext:
-    """Rotate slots left by `steps` (negative: right)."""
+def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
+           hoisted_digits=None) -> Ciphertext:
+    """Rotate slots left by `steps` (negative: right).
+
+    Decompose-then-permute (hoisting order): the digit decomposition of c1
+    commutes with the automorphism up to multiples of q_j that annihilate
+    against the gadget factors mod Q, so permuting shared digit NTTs is
+    semantically exact and lets n rotations of one ciphertext reuse one
+    decomposition (pass `hoisted_digits` from hoist_digits())."""
     assert a.size == 2, "relinearize before rotating"
     if steps % (ctx.n // 2) == 0:
         return a.copy()
     g = ctx.galois_elt(steps)
     assert g in keys.galois, f"no galois key for step {steps} (elt {g})"
     primes = ctx.primes_at_level(a.level)
+    perm = ctx.perm_for_elt(g)
     c0 = ctx.apply_automorphism(a.polys[0], g)
-    c1 = ctx.apply_automorphism(a.polys[1], g)
-    d0, d1 = _key_switch(ctx, c1, a.level, keys.galois[g])
+    digits = hoisted_digits
+    if digits is None:
+        digits = _ks_digits(ctx, a.polys[1], a.level)
+    d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g], perm=perm)
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
+
+
+def hoist_digits(ctx: CKKSContext, a: Ciphertext):
+    """Precompute the rotation digit decomposition of a ciphertext for
+    reuse across multiple rotate() calls."""
+    return _ks_digits(ctx, a.polys[1], a.level)
 
 
 # -- level changes ------------------------------------------------------------

@@ -250,6 +250,7 @@ class Executor:
 
     def _run_numpy(self, inputs: Dict) -> Dict:
         values: Dict[int, object] = {}
+        hoist: Dict[int, object] = {}  # rotation digit cache per source term
         ctx, keys = self.ctx, self.keys
         vec_size = self.program.vec_size
 
@@ -293,12 +294,16 @@ class Executor:
                 values[term.index] = self._binop(term, values)
             elif op == Op.Negate:
                 values[term.index] = O.negate(ctx, values[args[0].index])
-            elif op == Op.RotateLeftConst:
+            elif op in (Op.RotateLeftConst, Op.RotateRightConst):
+                steps = term.get_attr(ROTATION)
+                if op == Op.RotateRightConst:
+                    steps = -steps
+                src = args[0].index
+                ct = values[src]
+                if steps % (ctx.n // 2) != 0 and src not in hoist:
+                    hoist[src] = O.hoist_digits(ctx, ct)
                 values[term.index] = O.rotate(
-                    ctx, keys, values[args[0].index], term.get_attr(ROTATION))
-            elif op == Op.RotateRightConst:
-                values[term.index] = O.rotate(
-                    ctx, keys, values[args[0].index], -term.get_attr(ROTATION))
+                    ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:
                 values[term.index] = O.relinearize(ctx, keys, values[args[0].index])
             elif op == Op.ModSwitch:

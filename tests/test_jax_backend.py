@@ -119,3 +119,41 @@ class TestPallasNTT:
             ref = np.stack([get_table(q, n).ntt(xb[b, i].astype(np.uint64))
                             for i, q in enumerate(primes)])
             assert np.array_equal(got[b], ref)
+
+
+class TestCrossBackendEquivalence:
+    """The numpy and JAX executors must produce IDENTICAL ciphertexts for
+    the same encrypted valuation (all kernels are bit-exact counterparts,
+    including hoisted rotations vs direct decomposition)."""
+
+    def test_identical_ciphertexts(self):
+        import random
+        random.seed(55)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys, Executor
+
+        prog = EvaProgram("xbe", vec_size=16)
+        with prog:
+            x = Input("x")
+            w = Input("w", False)
+            Output("y", (x << 1) * 3 + (x >> 2) * w + x * x - 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="numpy")
+        inputs = {"x": [random.uniform(-2, 2) for _ in range(16)],
+                  "w": [random.uniform(-2, 2) for _ in range(16)]}
+        enc = pub.encrypt(inputs, sig)
+
+        out_np = Executor(compiled, pub.ctx, pub._keys,
+                          backend="numpy").run(enc)
+        out_jx = Executor(compiled, pub.ctx, pub._keys,
+                          backend="jax").run(enc)
+        ct_np = out_np["y"]
+        ct_jx = out_jx["y"]
+        assert ct_np.level == ct_jx.level
+        assert ct_np.scale == ct_jx.scale
+        for a, b in zip(ct_np.polys, ct_jx.polys):
+            assert np.array_equal(a, b), "backend ciphertexts diverge"
