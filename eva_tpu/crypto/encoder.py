@@ -87,19 +87,15 @@ class Encoder:
         for q in primes:
             Qi = Q // q
             mults.append(Qi * pow(Qi % q, q - 2, q))
-        cols = residues.T  # [N, n_sub]
         half = Q // 2
-        out = np.empty(self.n, dtype=np.float64)
-        for k in range(self.n):
-            acc = 0
-            row = cols[k]
-            for i in range(n_sub):
-                acc += int(row[i]) * mults[i]
-            acc %= Q
-            if acc >= half:
-                acc -= Q
-            out[k] = float(acc)
-        return out
+        # Vectorized big-int accumulation via object arrays (several times
+        # faster than a per-coefficient Python loop at large N).
+        acc = np.zeros(self.n, dtype=object)
+        for i in range(n_sub):
+            acc += residues[i].astype(object) * mults[i]
+        acc %= Q
+        acc = np.where(acc >= half, acc - Q, acc)
+        return acc.astype(np.float64)
 
 
 @lru_cache(maxsize=None)

@@ -147,3 +147,47 @@ class TestRegression:
         for i in range(p):
             inputs[f"x{i}"] = [i * j * 0.0001 for j in range(2048)]
         compile_and_check(linreg, inputs=inputs)
+
+
+def build_harris(h=64, w=64):
+    prog = EvaProgram("harris", vec_size=h * w)
+    with prog:
+        image = Input("image")
+        sobel_filter = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+        box = [[1, 1, 1], [1, 1, 1], [1, 1, 1]]
+        Ix = Iy = None
+        for i in range(3):
+            for j in range(3):
+                rotated = image << (i * w + j)
+                horizontal = rotated * sobel_filter[i][j]
+                vertical = rotated * sobel_filter[j][i]
+                if Ix is None:
+                    Ix, Iy = horizontal, vertical
+                else:
+                    Ix, Iy = Ix + horizontal, Iy + vertical
+
+        def convolution(x, filt):
+            out = None
+            for i in range(3):
+                for j in range(3):
+                    part = (x << (i * w + j)) * filt[i][j]
+                    out = part if out is None else out + part
+            return out
+
+        Sxx = convolution(Ix * Ix, box)
+        Syy = convolution(Iy * Iy, box)
+        Sxy = convolution(Ix * Iy, box)
+        det = Sxx * Syy - Sxy * Sxy
+        trace = Sxx + Syy
+        Output("image", det - 0.04 * trace * trace)
+    prog.set_input_scales(30)
+    prog.set_output_ranges(20)
+    return prog
+
+
+class TestHarris:
+    @pytest.mark.slow
+    def test_harris_he_roundtrip(self):
+        """Harris corner detection: deeper multiplicative depth and
+        rotation-heavy (21 distinct rotation keys)."""
+        compile_and_check(build_harris())
