@@ -113,32 +113,59 @@ class Executor:
         plan[term.index] = TermPlan(level, plan[cipherish[0].index].scale)
 
     def _compensate(self, term: Term, ratio: float) -> bool:
-        """Scale `term`'s planned true scale by `ratio` by adjusting the
-        nearest upstream single-use plaintext encode. Walks single-use
-        chains of scale-linear ops; returns True on success."""
-        path: List[Term] = []
+        """Scale `term`'s planned true scale by `ratio` by adjusting
+        upstream single-use plaintext encodes. Walks single-use subtrees of
+        scale-linear ops, descending through BOTH branches of additions
+        (each branch must independently absorb the ratio). Two-phase:
+        adjustments are gathered first and applied only if the whole
+        subtree can be compensated."""
+        adjustments: List[Term] = []
+        if not self._gather_compensation(term, adjustments, depth=0):
+            return False
+        for t in adjustments:
+            self.plan[t.index].scale *= ratio
+        return True
+
+    def _gather_compensation(self, term: Term, adjustments: List[Term],
+                             depth: int) -> bool:
+        if depth > 64:
+            return False
         cur = term
         for _ in range(64):
             if len(cur.uses) > 1:
                 return False
-            path.append(cur)
+            adjustments.append(cur)
             if cur.op == Op.Mul:
                 enc = None
                 for o in cur.operands:
                     if o.op == Op.Encode and len(o.uses) == 1:
                         enc = o
                 if enc is not None:
-                    self.plan[enc.index].scale *= ratio
-                    for t in path:
-                        self.plan[t.index].scale *= ratio
+                    adjustments.append(enc)
                     return True
-                # descend into the cipher operand
                 nxt = [o for o in cur.operands if self.types[o] != Type.Raw]
-                if len(nxt) != 1:
-                    return False
-                cur = nxt[0]
+                if len(nxt) == 1:
+                    cur = nxt[0]
+                    continue
+                # ct-ct multiply: scales multiply, so the ratio can be
+                # absorbed through EITHER factor; try each transactionally.
+                for o in nxt:
+                    tmp: List[Term] = []
+                    if self._gather_compensation(o, tmp, depth + 1):
+                        adjustments.extend(tmp)
+                        return True
+                return False
             elif cur.op in (Op.Rescale, Op.ModSwitch, Op.Relinearize, Op.Negate):
                 cur = cur.operands[0]
+            elif cur.op in (Op.Add, Op.Sub):
+                cipherish = [o for o in cur.operands
+                             if self.types[o] != Type.Raw]
+                return all(self._gather_compensation(o, adjustments, depth + 1)
+                           for o in cipherish)
+            elif cur.op == Op.Encode:
+                # Additive plaintext partner: rescaling its encode scale
+                # rescales the encoded value directly.
+                return True
             else:
                 return False
         return False
