@@ -33,12 +33,6 @@ class CKKSContext:
         self.all_primes: List[int] = self.data_primes + self.key_primes
         self.encoder = get_encoder(self.n)
         self._perm_cache: Dict[int, np.ndarray] = {}
-        # Precompute per-entry prime row offsets into the flat data layout.
-        self._entry_offsets = []
-        off = 0
-        for e in self.data_entries:
-            self._entry_offsets.append(off)
-            off += len(e.primes)
 
     # -- level bookkeeping ---------------------------------------------------
 
@@ -48,13 +42,6 @@ class CKKSContext:
 
     def primes_at_level(self, level: int) -> List[int]:
         return [q for e in self.entries_at_level(level) for q in e.primes]
-
-    def n_sub_at_level(self, level: int) -> int:
-        return len(self.primes_at_level(level))
-
-    @property
-    def max_level(self) -> int:
-        return len(self.data_entries) - 1
 
     # -- NTT over stacked limbs ----------------------------------------------
 
@@ -142,59 +129,6 @@ class CKKSContext:
             coeffs = self.divide_by_subprime(coeffs, primes)
             primes = primes[:-1]
         return coeffs
-
-    # -- CRT digit extraction for key switching ------------------------------
-
-    @staticmethod
-    def crt_combine_entry(residues: np.ndarray, entry: ChainEntry) -> np.ndarray:
-        """Combine an entry's residue rows into integer values < entry.product.
-
-        residues: [len(entry.primes), N] uint64 (coefficient domain).
-        Products stay below 2^62 so uint64 arithmetic is exact."""
-        if len(entry.primes) == 1:
-            return residues[0].astype(np.uint64)
-        p_a, p_b = entry.primes
-        inv = pow(p_a % p_b, p_b - 2, p_b)
-        x_a = residues[0]
-        x_b = residues[1]
-        t = ((x_b + np.uint64(p_b) - x_a % np.uint64(p_b)) * np.uint64(inv)) % np.uint64(p_b)
-        return x_a + np.uint64(p_a) * t
-
-    def decompose_digits(self, coeffs: np.ndarray, level: int,
-                         basis: List[int]) -> List[np.ndarray]:
-        """Per-abstract-entry gadget digits, broadcast into `basis` residues.
-
-        coeffs: [n_sub, N] coefficient domain at `level`. Returns one
-        [len(basis), N] array per current entry (coefficient domain)."""
-        digits = []
-        for j, entry in enumerate(self.entries_at_level(level)):
-            off = self._entry_offsets[j]
-            v = self.crt_combine_entry(coeffs[off:off + len(entry.primes)], entry)
-            d = np.empty((len(basis), self.n), dtype=np.uint64)
-            for i, q in enumerate(basis):
-                d[i] = v % np.uint64(q)
-            digits.append(d)
-        return digits
-
-    # -- division by the key-prime product P (key-switch epilogue) -----------
-
-    def divide_by_key_product(self, coeffs_ext: np.ndarray,
-                              primes: List[int]) -> np.ndarray:
-        """coeffs_ext: [n_cur + n_key, N] coefficient domain (current basis
-        then key basis). Returns [n_cur, N]: round(x / P) mod current."""
-        n_cur = len(primes)
-        key = self.key_primes
-        P = self.key_entry.product
-        x_key = coeffs_ext[n_cur:]
-        # Exact CRT of the key-limb residues to integers < P, then center.
-        v = self.crt_combine_entry(x_key, self.key_entry).astype(np.int64)
-        centered = np.where(v > P // 2, v - P, v)
-        out = np.empty((n_cur, self.n), dtype=np.uint64)
-        for i, q in enumerate(primes):
-            P_inv = pow(P % q, q - 2, q)
-            diff = (coeffs_ext[i].astype(np.int64) - centered) % q
-            out[i] = (diff.astype(np.uint64) * np.uint64(P_inv)) % np.uint64(q)
-        return out
 
 
 @lru_cache(maxsize=8)

@@ -72,6 +72,10 @@ class EVAPublic:
             executor = Executor(program, self.ctx, self._keys,
                                 backend=self.backend)
             self._executors[id(program)] = executor
+            # Bounded LRU: executors hold encode caches and compiled
+            # device programs; don't accumulate them for dead programs.
+            while len(self._executors) > 8:
+                self._executors.pop(next(iter(self._executors)))
         return executor
 
     def execute(self, program, inputs: EVAValuation) -> EVAValuation:

@@ -109,7 +109,12 @@ class Executor:
             assert abs(math.log2(ratio)) < 0.5, (
                 f"addition scale mismatch too large: {scales}")
             if not self._compensate(term.operands[1], ratio):
-                self._compensate(term.operands[0], 1.0 / ratio)
+                if not self._compensate(term.operands[0], 1.0 / ratio):
+                    from ..logging_util import warn
+                    warn("true-scale mismatch %.3g at t%d %s could not be "
+                         "compensated; expect relative error of that order "
+                         "on this addition's result", abs(ratio - 1),
+                         term.index, term.op.name)
         plan[term.index] = TermPlan(level, plan[cipherish[0].index].scale)
 
     def _compensate(self, term: Term, ratio: float) -> bool:
@@ -280,6 +285,19 @@ class Executor:
         hoist: Dict[int, object] = {}  # rotation digit cache per source term
         ctx, keys = self.ctx, self.keys
         vec_size = self.program.vec_size
+        # Eager release (the reference's multicore free(); eva/seal/
+        # seal_executor.h:406-418): drop values and hoisted digits once the
+        # last use has executed.
+        remaining: Dict[int, int] = {
+            t.index: len(t.uses) for t in self.order}
+        output_ids = {t.index for t in self.program.outputs.values()}
+
+        def consume(term):
+            for o in term.operands:
+                remaining[o.index] -= 1
+                if remaining[o.index] <= 0 and o.index not in output_ids:
+                    values.pop(o.index, None)
+                    hoist.pop(o.index, None)
 
         for name, term in self.program.inputs.items():
             if name in inputs:
@@ -307,15 +325,23 @@ class Executor:
             args = term.operands
             if self.types[term] == Type.Raw:
                 values[term.index] = self._raw_op(term, values, vec_size)
+                consume(term)
                 continue
             if op == Op.Constant:
                 values[term.index] = np.asarray(
                     term.get_attr(CONSTANT_VALUE).expand(vec_size))
                 continue
             if op == Op.Encode:
+                if term.index in self._encode_cache:
+                    values[term.index] = self._encode_cache[term.index]
+                    consume(term)
+                    continue
                 p = self.plan[term.index]
                 raw = np.asarray(values[args[0].index], dtype=np.float64)
                 values[term.index] = K.encode(ctx, raw, p.scale, p.level)
+                if self._is_input_free(term):
+                    self._encode_cache[term.index] = values[term.index]
+                consume(term)
                 continue
             if op in (Op.Add, Op.Sub, Op.Mul):
                 values[term.index] = self._binop(term, values)
@@ -345,6 +371,7 @@ class Executor:
                 values[term.index] = values[args[0].index]
             else:
                 raise RuntimeError(f"Unhandled op {op.name}")
+            consume(term)
 
         return {name: values[t.index] for name, t in self.program.outputs.items()}
 
