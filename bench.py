@@ -58,13 +58,11 @@ def main() -> None:
 
     @jax.jit
     def ct_mul_chain(a0):
-        # All three components are returned (jit outputs are always
-        # materialized, so none of the four dyadic multiplies can be
-        # dead-code-eliminated); iterations chain on the middle one.
-        c0 = dev.mul(a0, b0)
-        c1 = dev.add(dev.mul(a0, b1), dev.mul(a1, b0))
-        c2 = dev.mul(a1, b1)
-        return c0, c1, c2
+        # The production tensor-product path (fused single-pass Pallas
+        # kernel on TPU). All three components are returned (jit outputs
+        # are always materialized, so nothing is dead-code-eliminated);
+        # iterations chain on the middle one.
+        return tuple(dev.tensor_product(a0, a1, b0, b1))
 
     red = jax.jit(lambda c0, c1, c2: jnp.sum((c0 ^ c1 ^ c2) >> 31))
     out = ct_mul_chain(x)

@@ -287,9 +287,7 @@ class JaxProgram:
             if op == Op.Mul:
                 a0, a1 = a
                 b0, b1 = b
-                return [dev.mul(a0, b0),
-                        dev.add(dev.mul(a0, b1), dev.mul(a1, b0)),
-                        dev.mul(a1, b1)]
+                return dev.tensor_product(a0, a1, b0, b1)
             f = dev.add if op == Op.Add else dev.sub
             n = max(len(a), len(b))
             out = []

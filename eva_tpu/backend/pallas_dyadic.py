@@ -1,0 +1,82 @@
+"""Fused Pallas kernel for the ciphertext tensor-product multiply.
+
+(a0,a1) x (b0,b1) -> (a0b0, a0b1 + a1b0, a1b1) computed in ONE pass:
+each operand tile is read from HBM once and all three outputs written
+once (~175 MB of traffic per batch-32 call at N=16384x12 instead of the
+~300 MB the unfused XLA op sequence moves), putting the op near the
+bandwidth roofline. Modular arithmetic is the same 32-bit Montgomery as
+modmath.py (standard-domain operands: mont_mul twice with R^2)."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath import add_mod, mont_constants, mont_mul
+
+
+def _kernel(a0_ref, a1_ref, b0_ref, b1_ref, qs_ref, c0_ref, c1_ref, c2_ref):
+    limb = pl.program_id(1)
+    q = qs_ref[limb, 0]
+    nqinv = qs_ref[limb, 1]
+    r2 = qs_ref[limb, 2]
+
+    def mul(x, y):
+        return mont_mul(mont_mul(x, y, q, nqinv), r2, q, nqinv)
+
+    a0 = a0_ref[...]
+    a1 = a1_ref[...]
+    b0 = b0_ref[...]
+    b1 = b1_ref[...]
+    c0_ref[...] = mul(a0, b0)
+    c1_ref[...] = add_mod(mul(a0, b1), mul(a1, b0), q)
+    c2_ref[...] = mul(a1, b1)
+
+
+class PallasDyadic:
+    """Batched fused tensor product over [..., n_sub, N] uint32 planes."""
+
+    def __init__(self, primes: List[int], n: int):
+        self.primes = list(primes)
+        self.n = n
+        qs = np.empty((len(primes), 3), dtype=np.uint32)
+        for i, q in enumerate(primes):
+            nqinv, _, r2 = mont_constants(q)
+            qs[i] = (q, nqinv, r2)
+        self.qs = qs
+
+    def ct_mul(self, a0, a1, b0, b1):
+        n_sub = len(self.primes)
+        n = self.n
+        lead = a0.shape[:-2]
+        batch = int(np.prod(lead)) if lead else 1
+        args = [x.reshape(batch, n_sub, n) for x in (a0, a1, b0, b1)]
+        grid = (batch, n_sub)
+        spec = pl.BlockSpec((1, 1, n), lambda b, l: (b, l, 0),
+                            memory_space=pltpu.VMEM)
+        interpret = jax.default_backend() != "tpu"
+        out_shape = jax.ShapeDtypeStruct((batch, n_sub, n), jnp.uint32)
+        c0, c1, c2 = pl.pallas_call(
+            _kernel,
+            grid=grid,
+            interpret=interpret,
+            in_specs=[spec, spec, spec, spec,
+                      pl.BlockSpec((n_sub, 3), lambda b, l: (0, 0),
+                                   memory_space=pltpu.SMEM)],
+            out_specs=(spec, spec, spec),
+            out_shape=(out_shape, out_shape, out_shape),
+        )(*args, self.qs)
+        shape = lead + (n_sub, n)
+        return c0.reshape(shape), c1.reshape(shape), c2.reshape(shape)
+
+
+@lru_cache(maxsize=None)
+def get_pallas_dyadic(primes: Tuple[int, ...], n: int) -> PallasDyadic:
+    return PallasDyadic(list(primes), n)

@@ -129,6 +129,18 @@ class DeviceLevelOps:
             self._pallas_ntt = get_pallas_ntt(tuple(self.primes), self.n)
         return self._pallas_ntt
 
+    def tensor_product(self, a0, a1, b0, b1):
+        """Ciphertext tensor product (a0,a1)x(b0,b1) -> 3 components.
+        Uses the fused single-pass Pallas kernel on TPU (one HBM read per
+        operand, one write per output); falls back to composed XLA ops."""
+        if self._pallas() is not None:
+            from .pallas_dyadic import get_pallas_dyadic
+            pd = get_pallas_dyadic(tuple(self.primes), self.n)
+            return list(pd.ct_mul(a0, a1, b0, b1))
+        return [self.mul(a0, b0),
+                self.add(self.mul(a0, b1), self.mul(a1, b0)),
+                self.mul(a1, b1)]
+
     def ntt(self, a):
         """Coefficient -> evaluation (bit-reversed order). Accepts unreduced
         planes (the twist multiply performs the reduction)."""
