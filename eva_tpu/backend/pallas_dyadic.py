@@ -57,12 +57,18 @@ class PallasDyadic:
         n = self.n
         lead = a0.shape[:-2]
         batch = int(np.prod(lead)) if lead else 1
-        args = [x.reshape(batch, n_sub, n) for x in (a0, a1, b0, b1)]
+        # Mosaic needs (8,128)-compliant trailing block dims: view each
+        # polynomial as [n/128, 128] rows.
+        rows = max(n // 128, 1)
+        cols = n // rows
+        args = [x.reshape(batch, n_sub, rows, cols)
+                for x in (a0, a1, b0, b1)]
         grid = (batch, n_sub)
-        spec = pl.BlockSpec((1, 1, n), lambda b, l: (b, l, 0),
+        spec = pl.BlockSpec((1, 1, rows, cols), lambda b, l: (b, l, 0, 0),
                             memory_space=pltpu.VMEM)
         interpret = jax.default_backend() != "tpu"
-        out_shape = jax.ShapeDtypeStruct((batch, n_sub, n), jnp.uint32)
+        out_shape = jax.ShapeDtypeStruct((batch, n_sub, rows, cols),
+                                         jnp.uint32)
         c0, c1, c2 = pl.pallas_call(
             _kernel,
             grid=grid,

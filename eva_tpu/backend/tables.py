@@ -131,9 +131,15 @@ class DeviceLevelOps:
 
     def tensor_product(self, a0, a1, b0, b1):
         """Ciphertext tensor product (a0,a1)x(b0,b1) -> 3 components.
-        Uses the fused single-pass Pallas kernel on TPU (one HBM read per
-        operand, one write per output); falls back to composed XLA ops."""
-        if self._pallas() is not None:
+
+        Uses composed XLA ops: measured FASTER than the fused Pallas
+        kernel (79k vs 42k ct-mul/s at N=16384x12 on v5e) because XLA's
+        elementwise fusion pipelines large fused loops better than a
+        (batch x limb) grid of 64KB Pallas blocks. pallas_dyadic.py keeps
+        the fused kernel for future block-size tuning (set
+        EVA_TPU_FUSED_DYADIC=1 to enable)."""
+        import os
+        if os.environ.get("EVA_TPU_FUSED_DYADIC") and self._pallas() is not None:
             from .pallas_dyadic import get_pallas_dyadic
             pd = get_pallas_dyadic(tuple(self.primes), self.n)
             return list(pd.ct_mul(a0, a1, b0, b1))
