@@ -132,3 +132,18 @@ class TestSecurityLevelsHE:
         prog.set_input_scales(30)
         compile_and_check(
             prog, config={"security_level": sec, "quantum_safe": quantum})
+
+
+class TestMinimumRescalerHE:
+    def test_minimum_rescaler_roundtrip(self):
+        """The minimum rescaling policy on a program it supports: x^4 via
+        squarings with uniform scales (rescales both operands before the
+        multiply when 2*rescaleBy >= 60)."""
+        prog = EvaProgram("minr", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", (x * x) * (x * x))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        _, params, _ = compile_and_check(prog, config={"rescaler": "minimum"})
+        assert 30 in params.prime_bits  # the pre-multiply operand rescale
