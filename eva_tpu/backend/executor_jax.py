@@ -32,6 +32,29 @@ from .tables import DeviceLevelOps
 _LEVEL_OPS_CACHE: Dict[Tuple[int, ...], DeviceLevelOps] = {}
 
 
+def _enable_compilation_cache() -> None:
+    """Persist XLA compilations across processes. Whole-program HE graphs
+    take minutes to compile over remote TPU runtimes; the cache makes
+    that a once-per-program cost. Opt out with EVA_TPU_NO_COMPILE_CACHE."""
+    import os
+    if os.environ.get("EVA_TPU_NO_COMPILE_CACHE"):
+        return
+    if jax.config.jax_compilation_cache_dir:
+        return
+    cache_dir = os.environ.get(
+        "EVA_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "eva_tpu", "xla"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass  # cache is an optimization; never fail execution over it
+
+
+_enable_compilation_cache()
+
+
 def level_ops(primes: List[int], n: int) -> DeviceLevelOps:
     key = tuple(primes)
     if key not in _LEVEL_OPS_CACHE:

@@ -157,3 +157,13 @@ class TestCrossBackendEquivalence:
         assert ct_np.scale == ct_jx.scale
         for a, b in zip(ct_np.polys, ct_jx.polys):
             assert np.array_equal(a, b), "backend ciphertexts diverge"
+
+
+def test_profiling_smoke():
+    """The roofline profiler runs end to end (tiny sizes, CPU backend)."""
+    from eva_tpu.profiling import profile
+    results, hbm = profile(n=256, n_entries=1)
+    assert hbm > 0
+    assert len(results) == 5
+    for name, us, achieved, frac in results:
+        assert us > 0 and achieved > 0
