@@ -58,19 +58,53 @@ class CKKSContext:
         return out
 
     # -- dyadic modular arithmetic over stacked limbs ------------------------
+    # numpy uint64 `%` lowers to hardware division (slow); the native C++
+    # kernels use __int128 Barrett-free mulmod and branchless add/sub.
 
     @staticmethod
     def qvec(primes: Sequence[int]) -> np.ndarray:
         return np.array(primes, dtype=np.uint64)[:, None]
 
+    @staticmethod
+    def _native():
+        from ..native import get_lib
+        return get_lib()
+
+    def _native_dyadic(self, fn_name, a, b, primes):
+        lib = self._native()
+        if lib is None or a.shape != b.shape:
+            return None
+        from ..native import as_u64p
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        b = np.ascontiguousarray(b, dtype=np.uint64)
+        out = np.empty_like(a)
+        fn = getattr(lib, fn_name)
+        n = a.shape[-1]
+        af = a.reshape(len(primes), -1)
+        bf = b.reshape(len(primes), -1)
+        of = out.reshape(len(primes), -1)
+        for i, q in enumerate(primes):
+            fn(as_u64p(af[i]), as_u64p(bf[i]), as_u64p(of[i]),
+               af.shape[1], q)
+        return out
+
     def add(self, a, b, primes):
+        out = self._native_dyadic("dyadic_add", a, b, primes)
+        if out is not None:
+            return out
         return (a + b) % self.qvec(primes)
 
     def sub(self, a, b, primes):
+        out = self._native_dyadic("dyadic_sub", a, b, primes)
+        if out is not None:
+            return out
         q = self.qvec(primes)
         return (a + q - b) % q
 
     def mul(self, a, b, primes):
+        out = self._native_dyadic("dyadic_mul", a, b, primes)
+        if out is not None:
+            return out
         return (a * b) % self.qvec(primes)
 
     def neg(self, a, primes):

@@ -110,9 +110,13 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
         factor = P * g_j
         a = _sample_uniform_ntt(ctx, basis, rng)
         e_ntt = _small_poly_residues(ctx, _sample_error(ctx, rng), basis)
-        qv = ctx.qvec(basis)
-        fac = np.array([factor % q for q in basis], dtype=np.uint64)[:, None]
-        b = (qv - (a * s_rows) % qv + e_ntt + (fac * target_ntt) % qv) % qv
+        fac = np.broadcast_to(
+            np.array([factor % q for q in basis], dtype=np.uint64)[:, None],
+            target_ntt.shape)
+        b = ctx.add(
+            ctx.sub(ctx.mul(fac, target_ntt, basis),
+                    ctx.mul(a, s_rows, basis), basis),
+            e_ntt, basis)
         k0.append(b)
         k1.append(a)
     return KSwitchKey(k0, k1)
@@ -178,8 +182,8 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
     e1 = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
     b = keys.public.b[:n_sub]
     a = keys.public.a[:n_sub]
-    c0 = ((b * u) % qv + e0 + pt.poly) % qv
-    c1 = ((a * u) % qv + e1) % qv
+    c0 = ctx.add(ctx.add(ctx.mul(b, u, primes), e0, primes), pt.poly, primes)
+    c1 = ctx.add(ctx.mul(a, u, primes), e1, primes)
     return Ciphertext([c0, c1], pt.level, pt.scale)
 
 
@@ -191,8 +195,8 @@ def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:
     acc = ct.polys[0].copy()
     s_pow = s_rows
     for c in ct.polys[1:]:
-        acc = (acc + (c * s_pow) % qv) % qv
-        s_pow = (s_pow * s_rows) % qv
+        acc = ctx.add(acc, ctx.mul(c, s_pow, primes), primes)
+        s_pow = ctx.mul(s_pow, s_rows, primes)
     coeffs_res = ctx.intt(acc, primes)
     coeffs = ctx.encoder.residues_to_coeffs(coeffs_res, primes)
     return ctx.encoder.coeffs_to_values(coeffs, ct.scale)

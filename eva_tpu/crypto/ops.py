@@ -134,8 +134,8 @@ def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
             d_ntt = d_ntt[:, perm]
         k0 = ksk.k0[j][row_idx]
         k1 = ksk.k1[j][row_idx]
-        acc0 = (acc0 + (d_ntt * k0) % qv_ext) % qv_ext
-        acc1 = (acc1 + (d_ntt * k1) % qv_ext) % qv_ext
+        acc0 = ctx.add(acc0, ctx.mul(d_ntt, k0, basis), basis)
+        acc1 = ctx.add(acc1, ctx.mul(d_ntt, k1, basis), basis)
 
     def _div_p(acc):
         coeffs_ext = ctx.intt(acc, basis)
