@@ -71,6 +71,8 @@ class CKKSContext:
         return get_lib()
 
     def _native_dyadic(self, fn_name, a, b, primes):
+        if a.shape[-1] < 2048:
+            return None  # ctypes round-trips beat numpy only on large rows
         lib = self._native()
         if lib is None or a.shape != b.shape:
             return None
