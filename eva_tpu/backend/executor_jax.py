@@ -151,15 +151,16 @@ class JaxProgram:
         dev = self._ops_at(level)
         ext = self._ext_ops_at(level)
         coeffs = dev.intt(poly)  # [..., n_cur, N]
-        ext_shape = coeffs.shape[:-2] + (len(primes) + len(ctx.key_primes),
-                                         ctx.n)
-        digits = []
-        for j in range(len(primes)):
-            # Digit broadcast: the raw row is a valid unreduced input; the
-            # NTT twist performs per-prime reduction.
-            d = jnp.broadcast_to(coeffs[..., j:j + 1, :], ext_shape)
-            digits.append(ext.ntt(d))
-        return digits
+        n_cur = len(primes)
+        n_ext = n_cur + len(ctx.key_primes)
+        # Stack all digits into one leading axis and run ONE batched NTT:
+        # [..., n_cur(digit), n_ext(limb), N]. The raw rows are valid
+        # unreduced inputs; the NTT twist performs per-prime reduction.
+        stacked = jnp.broadcast_to(
+            coeffs[..., :, None, :],
+            coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
+        d_ntt = ext.ntt(stacked)
+        return [d_ntt[..., j, :, :] for j in range(n_cur)]
 
     def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None):
         """Inner product of (optionally permuted) digits with a key-switch
@@ -178,15 +179,28 @@ class JaxProgram:
         row_idx = np.array(
             list(range(n_cur)) + [n_all_data + i
                                   for i in range(len(ctx.key_primes))])
-        acc0 = None
-        acc1 = None
-        for j, d_ntt in enumerate(digits):
-            if perm is not None:
-                d_ntt = jnp.take(d_ntt, perm, axis=-1)
-            t0 = ext.mul_mont(d_ntt, ksk0[j][row_idx])
-            t1 = ext.mul_mont(d_ntt, ksk1[j][row_idx])
-            acc0 = t0 if acc0 is None else ext.add(acc0, t0)
-            acc1 = t1 if acc1 is None else ext.add(acc1, t1)
+        # Stack digits on a leading axis, apply one permutation/multiply,
+        # and tree-reduce the modular sums (fewer, larger fused ops).
+        d_stack = jnp.stack(digits, axis=-3)  # [..., n_dig, n_ext, N]
+        if perm is not None:
+            d_stack = jnp.take(d_stack, perm, axis=-1)
+        k0 = ksk0[:len(digits), row_idx]  # [n_dig, n_ext, N]
+        k1 = ksk1[:len(digits), row_idx]
+        t0 = ext.mul_mont(d_stack, k0)
+        t1 = ext.mul_mont(d_stack, k1)
+
+        def tree_sum(t):
+            while t.shape[-3] > 1:
+                m = t.shape[-3]
+                half = m // 2
+                lo = t[..., :half, :, :]
+                hi = t[..., half:2 * half, :, :]
+                rest = t[..., 2 * half:, :, :]
+                t = jnp.concatenate([ext.add(lo, hi), rest], axis=-3)
+            return t[..., 0, :, :]
+
+        acc0 = tree_sum(t0)
+        acc1 = tree_sum(t1)
 
         def div_p(acc):
             coeffs_ext = ext.intt(acc)
