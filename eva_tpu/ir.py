@@ -423,10 +423,26 @@ class Program:
         return order
 
     def deep_copy(self) -> "Program":
-        """Clone the program graph. Reference: eva/ir/program.cpp:30-49."""
+        """Clone the program graph. Reference: eva/ir/program.cpp:30-49.
+
+        Only terms reachable from outputs (plus registered inputs) are
+        cloned: dangling expressions the user built but never consumed
+        are dropped, matching the reference's shared_ptr semantics once
+        user-held Expr wrappers go out of scope."""
+        live = set()
+        stack = [t for t in self._outputs.values()]
+        stack.extend(self._inputs.values())
+        while stack:
+            t = stack.pop()
+            if t.index in live:
+                continue
+            live.add(t.index)
+            stack.extend(t.operands)
         clone = Program(self._name, self._vec_size)
         mapping: Dict[int, Term] = {}
         for term in self.topological_order():
+            if term.index not in live:
+                continue
             new = clone.make_term(term.op, [mapping[o.index] for o in term.operands])
             new.attributes = dict(term.attributes)
             mapping[term.index] = new
