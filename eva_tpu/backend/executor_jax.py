@@ -66,12 +66,7 @@ def _to_u32(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
-def _to_mont_rows(arr: np.ndarray, primes: List[int]) -> np.ndarray:
-    out = np.empty(arr.shape, dtype=np.uint32)
-    for i, q in enumerate(primes):
-        out[i] = ((arr[i].astype(np.uint64) << np.uint64(32)) % np.uint64(q)
-                  ).astype(np.uint32)
-    return out
+from .modmath import to_mont_rows as _to_mont_rows  # shared converter
 
 
 class DeviceKeys:

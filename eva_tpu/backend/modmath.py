@@ -26,10 +26,18 @@ def mont_constants(q: int):
     return np.uint32(nqinv), np.uint32(r % q), np.uint32(r * r % q)
 
 
-def to_mont(x: np.ndarray, q, r2=None) -> np.ndarray:
+def to_mont(x: np.ndarray, q: int) -> np.ndarray:
     """Host-side conversion into Montgomery form (numpy, exact)."""
-    q = np.uint64(q)
-    return ((x.astype(np.uint64) << np.uint64(32)) % q).astype(np.uint32)
+    return ((x.astype(np.uint64) << np.uint64(32))
+            % np.uint64(q)).astype(np.uint32)
+
+
+def to_mont_rows(arr: np.ndarray, primes) -> np.ndarray:
+    """Per-row Montgomery conversion for [n_sub, ...] residue planes."""
+    out = np.empty(arr.shape, dtype=np.uint32)
+    for i, q in enumerate(primes):
+        out[i] = to_mont(arr[i], q)
+    return out
 
 
 def _mul32(a, b):

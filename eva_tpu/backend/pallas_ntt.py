@@ -36,9 +36,7 @@ from .modmath import add_mod, mont_mul, sub_mod
 LANES = 128
 
 
-def _to_mont(vals: np.ndarray, q: int) -> np.ndarray:
-    return ((vals.astype(np.uint64) << np.uint64(32)) % np.uint64(q)
-            ).astype(np.uint32)
+from .modmath import to_mont as _to_mont
 
 
 class PallasNTTTables:

@@ -37,12 +37,10 @@ class DeviceLevelOps:
         tables = [get_table(q, n) for q in primes]
         self.logn = tables[0].logn
 
+        from .modmath import to_mont_rows
+
         def stack_mont(rows: List[np.ndarray]) -> np.ndarray:
-            out = np.empty((n_sub, len(rows[0])), dtype=np.uint32)
-            for i, (row, q) in enumerate(zip(rows, primes)):
-                out[i] = ((row.astype(np.uint64) << np.uint64(32)) % np.uint64(q)
-                          ).astype(np.uint32)
-            return out
+            return to_mont_rows(np.stack(rows), primes)
 
         self.twist = stack_mont([t.twist for t in tables])
         self.untwist = stack_mont([t.untwist for t in tables])
@@ -71,10 +69,6 @@ class DeviceLevelOps:
     def mul(self, a, b):
         """Both operands standard-domain (ct-ct dyadic multiply)."""
         return self.mul_mont(self.mul_mont(a, b), self.r2)
-
-    def reduce(self, a):
-        """Reduce an unreduced uint32 plane into [0, q)."""
-        return self.mul_mont(a, self.r1)
 
     # -- NTT ----------------------------------------------------------------
 

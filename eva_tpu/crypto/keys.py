@@ -176,7 +176,6 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
     rng = _rng()
     primes = ctx.primes_at_level(pt.level)
     n_sub = len(primes)
-    qv = ctx.qvec(primes)
     u = _small_poly_residues(ctx, _sample_ternary(ctx, rng), primes)
     e0 = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
     e1 = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
@@ -190,7 +189,6 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
 def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:
     """Decrypt and decode to float slot values (length N/2)."""
     primes = ctx.primes_at_level(ct.level)
-    qv = ctx.qvec(primes)
     s_rows = keys.secret.rows(ctx, primes)
     acc = ct.polys[0].copy()
     s_pow = s_rows

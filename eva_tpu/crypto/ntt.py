@@ -58,7 +58,6 @@ class NTTTable:
         self.psi = psi
         omega = psi * psi % q
 
-        k = np.arange(n, dtype=object)
         # Twist factors psi^k and inverse (merged scaling by n^-1).
         psi_pows = [1] * n
         for i in range(1, n):
@@ -155,7 +154,7 @@ class NTTTable:
         lib = self._native()
         if lib is not None:
             from ..native import as_u64p
-            out = np.ascontiguousarray(a, dtype=np.uint64).copy()
+            out = np.array(a, dtype=np.uint64, order="C")
             flat = out.reshape(-1, self.n)
             lib.ntt_forward(as_u64p(flat), flat.shape[0], self.n, self.q,
                             as_u64p(self.twist), as_u64p(self.twist_shoup),
@@ -169,7 +168,7 @@ class NTTTable:
         lib = self._native()
         if lib is not None:
             from ..native import as_u64p
-            out = np.ascontiguousarray(x, dtype=np.uint64).copy()
+            out = np.array(x, dtype=np.uint64, order="C")
             flat = out.reshape(-1, self.n)
             lib.ntt_inverse(as_u64p(flat), flat.shape[0], self.n, self.q,
                             as_u64p(self.untwist), as_u64p(self.untwist_shoup),

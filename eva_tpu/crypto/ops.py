@@ -124,7 +124,6 @@ def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
     primes = ctx.primes_at_level(level)
     n_cur = len(primes)
     basis = primes + ctx.key_primes
-    qv_ext = ctx.qvec(basis)
     acc0 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     acc1 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
     key_rows = [len(ctx.data_primes) + i for i in range(len(ctx.key_primes))]

@@ -54,8 +54,6 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
     batch = 16
     plane_bytes = batch * n_sub * n * 4
 
-    rng = np.random.default_rng(0)
-
     def planes(seed):
         r = np.random.default_rng(seed)
         out = np.empty((batch, n_sub, n), dtype=np.uint32)

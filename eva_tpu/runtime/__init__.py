@@ -9,7 +9,7 @@ reference) or "jax" (XLA/Pallas compute path)."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Union
+from typing import Dict, Optional, Sequence
 
 import numpy as np
 

@@ -207,8 +207,6 @@ class Executor:
     def run_batch(self, inputs_list, mesh=None):
         """Execute over a batch of valuations (jax backend only):
         host-phase each element, then one sharded device invocation."""
-        from ..backend.executor_jax import JaxProgram
-
         assert self.backend == "jax", "batched execution requires the jax backend"
         pairs = [self._host_phase(inputs) for inputs in inputs_list]
         prepared = [p[0] for p in pairs]
@@ -270,8 +268,6 @@ class Executor:
     def _run_jax(self, inputs: Dict) -> Dict:
         """Host-compute Raw subgraphs and plaintext encodes, then hand the
         cipher DAG to the whole-graph XLA executor."""
-        from ..backend.executor_jax import JaxProgram
-
         host_values, raw_vals = self._host_phase(inputs)
         outputs = self._get_jax_program().run(host_values)
 
