@@ -44,26 +44,42 @@ class EVAPublic:
 
     def encrypt(self, inputs: Dict[str, Sequence[float]],
                 signature: CKKSSignature) -> EVAValuation:
+        """Encode+encrypt all inputs, in parallel across inputs for large
+        batches (the reference parallelizes this with Galois do_all;
+        reference eva/seal/seal.cpp:40-49 — our native NTT kernels release
+        the GIL, so a thread pool gets real concurrency)."""
         slots = self.ctx.n // 2
         if slots < signature.vec_size:
             raise RuntimeError("Vector size cannot be larger than slot count")
         if slots % signature.vec_size != 0:
             raise RuntimeError("Vector size must exactly divide the slot count")
-        out = EVAValuation(self.params)
-        for name, values in inputs.items():
+
+        def prepare(item):
+            name, values = item
             if len(values) != signature.vec_size:
                 raise RuntimeError(
                     f"Input {name} size {len(values)} does not match program "
                     f"vector size {signature.vec_size}")
             info = signature.inputs[name]
             if info.input_type == Type.Cipher:
-                out[name] = _keys.encrypt(
+                return name, _keys.encrypt(
                     self.ctx, self._keys, values, 2.0 ** info.scale, info.level)
-            elif info.input_type == Type.Plain:
-                out[name] = _keys.encode(
+            if info.input_type == Type.Plain:
+                return name, _keys.encode(
                     self.ctx, values, 2.0 ** info.scale, info.level)
-            else:  # Raw: plain doubles, never encoded
-                out[name] = np.asarray(values, dtype=np.float64)
+            return name, np.asarray(values, dtype=np.float64)  # Raw
+
+        out = EVAValuation(self.params)
+        items = list(inputs.items())
+        if len(items) >= 4:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+                for name, value in pool.map(prepare, items):
+                    out[name] = value
+        else:
+            for item in items:
+                name, value = prepare(item)
+                out[name] = value
         return out
 
     def _executor_for(self, program) -> Executor:
