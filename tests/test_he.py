@@ -147,3 +147,52 @@ class TestMinimumRescalerHE:
         prog.set_input_scales(30)
         _, params, _ = compile_and_check(prog, config={"rescaler": "minimum"})
         assert 30 in params.prime_bits  # the pre-multiply operand rescale
+
+
+class TestNoiseEstimator:
+    def test_predictions_match_measurements(self):
+        """estimate_noise must predict the decrypted slot-error std within
+        ~4x of measurement, with no keys or encryption involved, and flag
+        under-scaled programs."""
+        import random
+        import numpy as np
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.runtime.noise import estimate_noise
+
+        random.seed(99)
+
+        prog = EvaProgram("np30", vec_size=64)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + 5 * x - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        inputs = {"x": [random.uniform(-2, 2) for _ in range(64)]}
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        est = estimate_noise(compiled, params, sig, inputs)
+        assert est["y"]["verdict"] == "ok"
+        pub, sec = generate_keys(params)
+        out = sec.decrypt(pub.execute(compiled, pub.encrypt(inputs, sig)), sig)
+        ref = evaluate(prog, inputs)
+        measured = float(np.std(np.array(out["y"]) - np.array(ref["y"])))
+        ratio = est["y"]["slot_error_std"] / max(measured, 1e-30)
+        assert 0.2 < ratio < 5.0, f"estimator off by {ratio}x"
+
+    def test_flags_insufficient_scale(self):
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime.noise import estimate_noise
+
+        prog = EvaProgram("low", vec_size=64)
+        with prog:
+            x = Input("x")
+            Output("y", x * x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(20)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        inputs = {"x": [2.0] * 64}
+        est = estimate_noise(compiled, params, sig, inputs)
+        assert est["y"]["verdict"] in ("marginal", "insufficient")
