@@ -22,13 +22,17 @@ class Ciphertext:
     polys: List[np.ndarray]  # each [n_sub, N] uint64, NTT domain
     level: int
     scale: float
+    # For seeded (symmetric) ciphertexts: c1 was expanded from this seed,
+    # so serialization can ship (c0, seed) at half the size.
+    seed: bytes = None
 
     @property
     def size(self) -> int:
         return len(self.polys)
 
     def copy(self) -> "Ciphertext":
-        return Ciphertext([p.copy() for p in self.polys], self.level, self.scale)
+        return Ciphertext([p.copy() for p in self.polys], self.level,
+                          self.scale, self.seed)
 
 
 @dataclass

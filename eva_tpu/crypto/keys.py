@@ -186,6 +186,36 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
     return Ciphertext([c0, c1], pt.level, pt.scale)
 
 
+def expand_seeded_c1(ctx: CKKSContext, seed: bytes, level: int) -> np.ndarray:
+    """Deterministically expand a seed into the uniform c1 component
+    (NTT-domain residues at `level`). The expansion (PCG64 over per-prime
+    uniform rows) is part of the wire format for seeded ciphertexts."""
+    primes = ctx.primes_at_level(level)
+    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
+    out = np.empty((len(primes), ctx.n), dtype=np.uint64)
+    for i, q in enumerate(primes):
+        out[i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
+    return out
+
+
+def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
+                      level: int) -> Ciphertext:
+    """Secret-key encryption with a seeded uniform c1: the ciphertext
+    serializes as (c0, seed) — half the size of a public-key ciphertext.
+    Only the key holder can produce these (client-role encryption)."""
+    pt = encode(ctx, values, scale, level)
+    rng = _rng()
+    seed = secrets.token_bytes(32)
+    primes = ctx.primes_at_level(level)
+    c1 = expand_seeded_c1(ctx, seed, level)
+    e = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
+    s_rows = keys.secret.rows(ctx, primes)
+    # c0 = -c1*s + e + m  so that c0 + c1*s = m + e.
+    c0 = ctx.add(ctx.sub(e, ctx.mul(c1, s_rows, primes), primes),
+                 pt.poly, primes)
+    return Ciphertext([c0, c1], level, pt.scale, seed=seed)
+
+
 def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:
     """Decrypt and decode to float slot values (length N/2)."""
     primes = ctx.primes_at_level(ct.level)

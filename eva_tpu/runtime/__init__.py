@@ -118,6 +118,33 @@ class EVASecret:
         self._keys = keys
         self.params = params
 
+    def encrypt(self, inputs: Dict[str, Sequence[float]],
+                signature: CKKSSignature) -> EVAValuation:
+        """Symmetric (secret-key) encryption with SEEDED ciphertexts:
+        fresh inputs serialize as (c0, seed) at half the size of
+        public-key ciphertexts. Only the key holder can produce these;
+        use EVAPublic.encrypt when encrypting with a shared public
+        context."""
+        slots = self.ctx.n // 2
+        if slots % signature.vec_size != 0 or slots < signature.vec_size:
+            raise RuntimeError("Vector size must exactly divide the slot count")
+        out = EVAValuation(self.params)
+        for name, values in inputs.items():
+            if len(values) != signature.vec_size:
+                raise RuntimeError(
+                    f"Input {name} size {len(values)} does not match program "
+                    f"vector size {signature.vec_size}")
+            info = signature.inputs[name]
+            if info.input_type == Type.Cipher:
+                out[name] = _keys.encrypt_symmetric(
+                    self.ctx, self._keys, values, 2.0 ** info.scale, info.level)
+            elif info.input_type == Type.Plain:
+                out[name] = _keys.encode(
+                    self.ctx, values, 2.0 ** info.scale, info.level)
+            else:
+                out[name] = np.asarray(values, dtype=np.float64)
+        return out
+
     def decrypt(self, enc_outputs: EVAValuation,
                 signature: CKKSSignature) -> Dict[str, list]:
         outputs = {}

@@ -179,8 +179,12 @@ def serialize_valuation(val):
             c = msg.ciphers[name]
             c.level = v.level
             c.scale = v.scale
-            for p in v.polys:
-                _poly_to_msg(p, c.polys.add())
+            if v.seed is not None and v.size == 2:
+                c.seed = v.seed
+                _poly_to_msg(v.polys[0], c.polys.add())  # c0 only
+            else:
+                for p in v.polys:
+                    _poly_to_msg(p, c.polys.add())
         elif isinstance(v, Plaintext):
             p = msg.plains[name]
             p.level = v.level
@@ -199,8 +203,17 @@ def deserialize_valuation(msg):
     from ..runtime import EVAValuation
     val = EVAValuation(deserialize_params(msg.params))
     for name, c in msg.ciphers.items():
-        val[name] = Ciphertext([_poly_from_msg(p) for p in c.polys],
-                               c.level, c.scale)
+        polys = [_poly_from_msg(p) for p in c.polys]
+        seed = bytes(c.seed) if c.seed else None
+        if seed is not None and len(polys) == 1:
+            from ..crypto.context import get_context
+            from ..crypto.keys import expand_seeded_c1
+            params = deserialize_params(msg.params)
+            ctx = get_context(tuple(params.prime_bits),
+                              tuple(params.rotations),
+                              params.poly_modulus_degree)
+            polys.append(expand_seeded_c1(ctx, seed, c.level))
+        val[name] = Ciphertext(polys, c.level, c.scale, seed=seed)
     for name, p in msg.plains.items():
         val[name] = Plaintext(_poly_from_msg(p.poly), p.level, p.scale)
     for name, r in msg.raws.items():

@@ -113,3 +113,26 @@ class TestFourRoleProtocol:
             assert sig2.vec_size == signature.vec_size
             assert sig2.inputs["x"].scale == signature.inputs["x"].scale
             assert sig2.inputs["x"].level == signature.inputs["x"].level
+
+
+class TestSeededEncryption:
+    def test_seeded_ciphertexts_halve_upload_and_roundtrip(self):
+        """EVASecret.encrypt produces seeded (c0, seed) ciphertexts that
+        serialize at half the size and execute identically after reload."""
+        import random
+        random.seed(31)
+        poly = _poly_program()
+        inputs = {"x": [random.uniform(-2, 2) for _ in range(poly.vec_size)]}
+        reference = evaluate(poly, inputs)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        pub, sec = generate_keys(params)
+        with tempfile.TemporaryDirectory() as tmp:
+            p_pk = os.path.join(tmp, "pk")
+            p_sk = os.path.join(tmp, "sk")
+            save(pub.encrypt(inputs, sig), p_pk)
+            save(sec.encrypt(inputs, sig), p_sk)
+            assert os.path.getsize(p_sk) < 0.6 * os.path.getsize(p_pk)
+            loaded = load(p_sk)
+            out = sec.decrypt(pub.execute(compiled, loaded), sig)
+        assert valuation_mse(out, reference) < 0.01
