@@ -65,6 +65,19 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
     other = planes(1)
     red = jax.jit(lambda v: jnp.sum(v >> 31))
 
+    def _rescale_last(dev, v, primes):
+        # One divide-and-round step (the rescale/key-switch epilogue),
+        # padded back to the input shape so executions can chain.
+        from .backend.executor_jax import JaxProgram
+        shim = JaxProgram.__new__(JaxProgram)
+        from .crypto.context import get_context
+        shim.ctx = get_context(tuple(primes) + (primes[-1],), (), n) if False else None
+        # direct call: _divide_last only needs ctx.n
+        class _C:  # minimal ctx shim
+            pass
+        shim.ctx = _C(); shim.ctx.n = n
+        return JaxProgram._divide_last(shim, v, list(primes))
+
     results = []
     hbm = measure_hbm_roofline(jax, jnp)
 
@@ -76,6 +89,10 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
         ("intt", jax.jit(dev.intt), 2 * plane_bytes),
         ("automorphism gather", jax.jit(
             lambda v: jnp.take(v, jnp.arange(n - 1, -1, -1), axis=-1)),
+         2 * plane_bytes),
+        ("rescale (divide+round)", jax.jit(
+            lambda v: jnp.pad(_rescale_last(dev, v, primes),
+                              [(0, 0), (0, 1), (0, 0)])),
          2 * plane_bytes),
     ]
     for name, fn, nbytes in cases:

@@ -164,6 +164,6 @@ def test_profiling_smoke():
     from eva_tpu.profiling import profile
     results, hbm = profile(n=256, n_entries=1)
     assert hbm > 0
-    assert len(results) == 5
+    assert len(results) >= 5
     for name, us, achieved, frac in results:
         assert us > 0 and achieved > 0
