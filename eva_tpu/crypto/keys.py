@@ -50,17 +50,20 @@ class SecretKey:
 
 
 class PublicKey:
-    def __init__(self, b: np.ndarray, a: np.ndarray):
+    def __init__(self, b: np.ndarray, a: np.ndarray, a_seed: bytes = None):
         self.b = b  # [n_data, N] NTT
         self.a = a
+        self.a_seed = a_seed  # regenerates `a` via expand_uniform
 
 
 class KSwitchKey:
     """One key per gadget digit: pairs (k0_j, k1_j) over data+key basis."""
 
-    def __init__(self, k0: List[np.ndarray], k1: List[np.ndarray]):
+    def __init__(self, k0: List[np.ndarray], k1: List[np.ndarray],
+                 k1_seeds: List[bytes] = None):
         self.k0 = k0  # per digit: [n_all, N] NTT
         self.k1 = k1
+        self.k1_seeds = k1_seeds  # per digit seeds regenerating k1
 
 
 class KeySet:
@@ -81,7 +84,14 @@ def _sample_ternary(ctx: CKKSContext, rng) -> np.ndarray:
     return rng.integers(-1, 2, ctx.n, dtype=np.int64)
 
 
-def _sample_uniform_ntt(ctx: CKKSContext, primes: List[int], rng) -> np.ndarray:
+def expand_uniform(ctx: CKKSContext, primes: List[int],
+                   seed: bytes) -> np.ndarray:
+    """Deterministically expand a seed into uniform NTT-domain residues.
+
+    Used for the public `a` components of keys and seeded ciphertexts so
+    they serialize as 32-byte seeds; the expansion is part of the wire
+    format."""
+    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
     out = np.empty((len(primes), ctx.n), dtype=np.uint64)
     for i, q in enumerate(primes):
         out[i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
@@ -103,12 +113,14 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
     for q in ctx.data_primes:
         Q *= q
     s_rows = s.s  # full basis
-    k0, k1 = [], []
+    k0, k1, k1_seeds = [], [], []
     for q_j in ctx.data_primes:
         Qhat = Q // q_j
         g_j = Qhat * pow(Qhat % q_j, q_j - 2, q_j)
         factor = P * g_j
-        a = _sample_uniform_ntt(ctx, basis, rng)
+        a_seed = secrets.token_bytes(32)
+        k1_seeds.append(a_seed)
+        a = expand_uniform(ctx, basis, a_seed)
         e_ntt = _small_poly_residues(ctx, _sample_error(ctx, rng), basis)
         fac = np.broadcast_to(
             np.array([factor % q for q in basis], dtype=np.uint64)[:, None],
@@ -119,7 +131,7 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
             e_ntt, basis)
         k0.append(b)
         k1.append(a)
-    return KSwitchKey(k0, k1)
+    return KSwitchKey(k0, k1, k1_seeds)
 
 
 def generate_keys(ctx: CKKSContext) -> KeySet:
@@ -127,12 +139,13 @@ def generate_keys(ctx: CKKSContext) -> KeySet:
     s = SecretKey(ctx, _sample_ternary(ctx, rng))
 
     # Public key over the data basis.
-    a = _sample_uniform_ntt(ctx, ctx.data_primes, rng)
+    pk_seed = secrets.token_bytes(32)
+    a = expand_uniform(ctx, ctx.data_primes, pk_seed)
     e = _small_poly_residues(ctx, _sample_error(ctx, rng), ctx.data_primes)
     qv = ctx.qvec(ctx.data_primes)
     s_data = s.rows(ctx, ctx.data_primes)
     b = (qv - (a * s_data) % qv + e) % qv
-    public = PublicKey(b, a)
+    public = PublicKey(b, a, pk_seed)
 
     # Relinearization key: s^2 -> s.
     s2 = (s.s * s.s) % ctx.qvec(ctx.all_primes)
@@ -187,15 +200,8 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
 
 
 def expand_seeded_c1(ctx: CKKSContext, seed: bytes, level: int) -> np.ndarray:
-    """Deterministically expand a seed into the uniform c1 component
-    (NTT-domain residues at `level`). The expansion (PCG64 over per-prime
-    uniform rows) is part of the wire format for seeded ciphertexts."""
-    primes = ctx.primes_at_level(level)
-    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
-    out = np.empty((len(primes), ctx.n), dtype=np.uint64)
-    for i, q in enumerate(primes):
-        out[i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
-    return out
+    """Uniform c1 component for seeded ciphertexts at `level`."""
+    return expand_uniform(ctx, ctx.primes_at_level(level), seed)
 
 
 def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,

@@ -224,21 +224,31 @@ def deserialize_valuation(msg):
 def _ksk_to_msg(ksk, msg) -> None:
     for d in ksk.k0:
         _poly_to_msg(d, msg.k0.add())
-    for d in ksk.k1:
-        _poly_to_msg(d, msg.k1.add())
+    if ksk.k1_seeds:
+        msg.k1_seeds.extend(ksk.k1_seeds)
+    else:
+        for d in ksk.k1:
+            _poly_to_msg(d, msg.k1.add())
 
 
-def _ksk_from_msg(msg):
-    from ..crypto.keys import KSwitchKey
-    return KSwitchKey([_poly_from_msg(p) for p in msg.k0],
-                      [_poly_from_msg(p) for p in msg.k1])
+def _ksk_from_msg(msg, ctx):
+    from ..crypto.keys import KSwitchKey, expand_uniform
+    k0 = [_poly_from_msg(p) for p in msg.k0]
+    if msg.k1_seeds:
+        seeds = [bytes(sd) for sd in msg.k1_seeds]
+        k1 = [expand_uniform(ctx, ctx.all_primes, sd) for sd in seeds]
+        return KSwitchKey(k0, k1, seeds)
+    return KSwitchKey(k0, [_poly_from_msg(p) for p in msg.k1])
 
 
 def serialize_public(pub):
     msg = evatpu_pb2.EVAPublicMsg()
     msg.params.CopyFrom(serialize_params(pub.params))
     _poly_to_msg(pub._keys.public.b, msg.pk_b)
-    _poly_to_msg(pub._keys.public.a, msg.pk_a)
+    if pub._keys.public.a_seed:
+        msg.pk_a_seed = pub._keys.public.a_seed
+    else:
+        _poly_to_msg(pub._keys.public.a, msg.pk_a)
     _ksk_to_msg(pub._keys.relin, msg.relin)
     for g, k in pub._keys.galois.items():
         _ksk_to_msg(k, msg.galois[g])
@@ -252,9 +262,14 @@ def deserialize_public(msg):
     params = deserialize_params(msg.params)
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
                       params.poly_modulus_degree)
-    public = K.PublicKey(_poly_from_msg(msg.pk_b), _poly_from_msg(msg.pk_a))
-    relin = _ksk_from_msg(msg.relin)
-    galois = {g: _ksk_from_msg(k) for g, k in msg.galois.items()}
+    if msg.pk_a_seed:
+        seed = bytes(msg.pk_a_seed)
+        pk_a = K.expand_uniform(ctx, ctx.data_primes, seed)
+        public = K.PublicKey(_poly_from_msg(msg.pk_b), pk_a, seed)
+    else:
+        public = K.PublicKey(_poly_from_msg(msg.pk_b), _poly_from_msg(msg.pk_a))
+    relin = _ksk_from_msg(msg.relin, ctx)
+    galois = {g: _ksk_from_msg(k, ctx) for g, k in msg.galois.items()}
     keyset = K.KeySet(ctx, None, public, relin, galois)
     return EVAPublic(ctx, keyset, params)
 
