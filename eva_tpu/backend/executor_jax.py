@@ -107,6 +107,12 @@ class JaxProgram:
         self.types = types
         self.order = order
         self.dkeys = device_keys(ctx, keys)
+        # Rescale nodes consumed by a fused Rescale->Relinearize pair.
+        self._fused_rescales = {
+            t.operands[0].index for t in order
+            if t.op == Op.Relinearize
+            and t.operands[0].op == Op.Rescale
+            and len(t.operands[0].uses) == 1}
         self._jitted = jax.jit(self._traced)
         self._sharded_cache: Dict[int, object] = {}
 
@@ -141,11 +147,14 @@ class JaxProgram:
         """Gadget decomposition digits, NTT'd in the extended basis — the
         dominant key-switch cost (n_cur * n_ext limb NTTs). Separated so
         hoisted rotations can compute it ONCE per source ciphertext."""
+        dev = self._ops_at(level)
+        return self._ks_digits_from_coeffs(dev.intt(poly), level)
+
+    def _ks_digits_from_coeffs(self, coeffs, level: int):
+        """Digits from COEFFICIENT-domain input (fusion entry point)."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
-        dev = self._ops_at(level)
         ext = self._ext_ops_at(level)
-        coeffs = dev.intt(poly)  # [..., n_cur, N]
         n_cur = len(primes)
         n_ext = n_cur + len(ctx.key_primes)
         # Stack all digits into one leading axis and run ONE batched NTT:
@@ -157,7 +166,8 @@ class JaxProgram:
         d_ntt = ext.ntt(stacked)
         return [d_ntt[..., j, :, :] for j in range(n_cur)]
 
-    def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None):
+    def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None,
+                  coeff_out=False):
         """Inner product of (optionally permuted) digits with a key-switch
         key, followed by division by the special modulus P.
 
@@ -204,7 +214,7 @@ class JaxProgram:
             for _ in self.ctx.key_primes:
                 x = self._divide_last(x, prim)
                 prim = prim[:-1]
-            return level_ops(prim, ctx.n).ntt(x)
+            return x if coeff_out else level_ops(prim, ctx.n).ntt(x)
 
         return div_p(acc0), div_p(acc1)
 
@@ -285,7 +295,12 @@ class JaxProgram:
                 vals[idx] = self._rotate(vals[args[0].index], steps, p.level,
                                          dev, hoist, args[0].index)
             elif op == Op.Relinearize:
-                vals[idx] = self._relin(vals[args[0].index], p.level, dev)
+                if args[0].index in self._fused_rescales:
+                    prev = self.plan[args[0].operands[0].index]
+                    vals[idx] = self._rescale_relin(
+                        vals[args[0].index], prev.level)
+                else:
+                    vals[idx] = self._relin(vals[args[0].index], p.level, dev)
             elif op == Op.ModSwitch:
                 v = vals[args[0].index]
                 keep = len(ctx.primes_at_level(p.level))
@@ -294,8 +309,11 @@ class JaxProgram:
                 else:
                     vals[idx] = [c[..., :keep, :] for c in v]
             elif op == Op.Rescale:
-                prev = self.plan[args[0].index]
-                vals[idx] = self._rescale(vals[args[0].index], prev.level)
+                if idx in self._fused_rescales:
+                    vals[idx] = vals[args[0].index]  # deferred into relin
+                else:
+                    prev = self.plan[args[0].index]
+                    vals[idx] = self._rescale(vals[args[0].index], prev.level)
             elif op == Op.Output:
                 vals[idx] = vals[args[0].index]
             else:
@@ -348,6 +366,33 @@ class JaxProgram:
         k0, k1 = self.dkeys.relin
         d0, d1 = self._key_switch(polys[2], level, k0, k1)
         return [dev.add(polys[0], d0), dev.add(polys[1], d1)]
+
+    def _rescale_relin(self, polys, level: int):
+        """Fused Rescale -> Relinearize: coefficient-domain between steps,
+        rescaled c2 feeds digit decomposition directly, correction added
+        before the single final NTT (bit-identical to the unfused pair)."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        entry = ctx.entries_at_level(level)[-1]
+        new_level = level + 1
+        new_primes = primes[:len(primes) - len(entry.primes)]
+        dev_new = level_ops(new_primes, ctx.n)
+        dev = self._ops_at(level)
+        coeffs = []
+        for c in polys:
+            x = dev.intt(c)
+            prim = list(primes)
+            for _ in entry.primes:
+                x = self._divide_last(x, prim)
+                prim = prim[:-1]
+            coeffs.append(x)
+        if len(polys) == 2:
+            return [dev_new.ntt(c) for c in coeffs]
+        digits = self._ks_digits_from_coeffs(coeffs[2], new_level)
+        k0, k1 = self.dkeys.relin
+        d0, d1 = self._ks_apply(digits, new_level, k0, k1, coeff_out=True)
+        return [dev_new.ntt(dev_new.add(coeffs[0], d0)),
+                dev_new.ntt(dev_new.add(coeffs[1], d1))]
 
     def _rotate(self, polys, steps: int, level: int, dev: DeviceLevelOps,
                 hoist=None, src_key=None):

@@ -98,13 +98,10 @@ def multiply_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
 # -- key switching -----------------------------------------------------------
 
 
-def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int):
-    """Per-sub-prime gadget digits, NTT'd in the extended basis — the
-    dominant key-switch cost. Hoisted rotations share this across all
-    rotations of one source ciphertext."""
+def _ks_digits_from_coeffs(ctx: CKKSContext, coeffs: np.ndarray, level: int):
+    """Digits from a COEFFICIENT-domain polynomial (fusion entry point)."""
     primes = ctx.primes_at_level(level)
     basis = primes + ctx.key_primes
-    coeffs = ctx.intt(poly_ntt, primes)
     digits = []
     for j in range(len(primes)):
         # Broadcast the residue row into every basis prime (each digit
@@ -116,8 +113,16 @@ def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int):
     return digits
 
 
+def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int):
+    """Per-sub-prime gadget digits, NTT'd in the extended basis — the
+    dominant key-switch cost. Hoisted rotations share this across all
+    rotations of one source ciphertext."""
+    return _ks_digits_from_coeffs(
+        ctx, ctx.intt(poly_ntt, ctx.primes_at_level(level)), level)
+
+
 def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
-              perm=None):
+              perm=None, coeff_out=False):
     """Inner product of (optionally automorphism-permuted) digits with a
     key-switch key, then division by the special modulus P (key
     sub-primes dropped one at a time with divide-and-round)."""
@@ -142,7 +147,7 @@ def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
         for _ in ctx.key_primes:
             coeffs_ext = ctx.divide_by_subprime(coeffs_ext, prim)
             prim = prim[:-1]
-        return ctx.ntt(coeffs_ext, primes)
+        return coeffs_ext if coeff_out else ctx.ntt(coeffs_ext, primes)
 
     return _div_p(acc0), _div_p(acc1)
 
@@ -188,6 +193,38 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
         digits = _ks_digits(ctx, a.polys[1], a.level)
     d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g], perm=perm)
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
+
+
+def rescale_relinearize(ctx: CKKSContext, keys: KeySet,
+                        a: Ciphertext) -> Ciphertext:
+    """Fused Rescale -> Relinearize (the adjacency lazy policies emit:
+    relinearization deferred past the cheaper lower level).
+
+    Keeps everything in the coefficient domain between the two steps:
+    the rescaled c2 feeds digit decomposition directly and the
+    key-switch correction is added before the single final NTT - exactly
+    equal to the unfused sequence (NTT is linear and exact) while
+    skipping ~4 * n_new limb transforms."""
+    primes = ctx.primes_at_level(a.level)
+    entry = ctx.entries_at_level(a.level)[-1]
+    new_level = a.level + 1
+    new_primes = primes[:len(primes) - len(entry.primes)]
+    # Rescale all components in the coefficient domain.
+    coeffs = []
+    for c in a.polys:
+        x = ctx.intt(c, primes)
+        x = ctx.rescale_entry(x, a.level)
+        coeffs.append(x)
+    new_scale = a.scale / entry.product
+    if a.size == 2:
+        return Ciphertext([ctx.ntt(c, new_primes) for c in coeffs],
+                          new_level, new_scale)
+    digits = _ks_digits_from_coeffs(ctx, coeffs[2], new_level)
+    d0, d1 = _ks_apply(ctx, digits, new_level, keys.relin, coeff_out=True)
+    qv = ctx.qvec(new_primes)
+    c0 = ctx.ntt(ctx.add(coeffs[0], d0, new_primes), new_primes)
+    c1 = ctx.ntt(ctx.add(coeffs[1], d1, new_primes), new_primes)
+    return Ciphertext([c0, c1], new_level, new_scale)
 
 
 def hoist_digits(ctx: CKKSContext, a: Ciphertext):

@@ -287,6 +287,12 @@ class Executor:
         remaining: Dict[int, int] = {
             t.index: len(t.uses) for t in self.order}
         output_ids = {t.index for t in self.program.outputs.values()}
+        # Rescale nodes consumed by a fused Rescale->Relinearize pair.
+        fused_rescales = {
+            t.operands[0].index for t in self.order
+            if t.op == Op.Relinearize
+            and t.operands[0].op == Op.Rescale
+            and len(t.operands[0].uses) == 1}
 
         def consume(term):
             for o in term.operands:
@@ -354,7 +360,11 @@ class Executor:
                 values[term.index] = O.rotate(
                     ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:
-                values[term.index] = O.relinearize(ctx, keys, values[args[0].index])
+                v = values[args[0].index]
+                if args[0].index in fused_rescales:
+                    values[term.index] = O.rescale_relinearize(ctx, keys, v)
+                else:
+                    values[term.index] = O.relinearize(ctx, keys, v)
             elif op == Op.ModSwitch:
                 v = values[args[0].index]
                 if isinstance(v, Plaintext):
@@ -362,7 +372,12 @@ class Executor:
                 else:
                     values[term.index] = O.mod_switch(ctx, v)
             elif op == Op.Rescale:
-                values[term.index] = O.rescale(ctx, values[args[0].index])
+                if term.index in fused_rescales:
+                    # Deferred: the consuming Relinearize applies the fused
+                    # rescale+relinearize on this node's INPUT.
+                    values[term.index] = values[args[0].index]
+                else:
+                    values[term.index] = O.rescale(ctx, values[args[0].index])
             elif op == Op.Output:
                 values[term.index] = values[args[0].index]
             else:

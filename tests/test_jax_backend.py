@@ -167,3 +167,38 @@ def test_profiling_smoke():
     assert len(results) >= 5
     for name, us, achieved, frac in results:
         assert us > 0 and achieved > 0
+
+
+class TestFusedRescaleRelin:
+    def test_fused_pair_bit_exact_across_backends(self):
+        """A program compiling to Relinearize(Rescale(Mul)) must take the
+        fused path and still produce ciphertexts bit-identical to the
+        numpy backend (which fuses the same way)."""
+        import random
+        random.seed(66)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.ir import Op
+        from eva_tpu.runtime import generate_keys, Executor
+
+        prog = EvaProgram("fused", vec_size=16)
+        with prog:
+            x = Input("x")
+            y = Input("y")
+            Output("z", (x * y) * (x * y) + x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        # The pattern must exist in this graph.
+        assert any(t.op == Op.Relinearize and t.operands[0].op == Op.Rescale
+                   and len(t.operands[0].uses) == 1
+                   for t in compiled.topological_order())
+        pub, sec = generate_keys(params)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(16)],
+                  "y": [random.uniform(-1, 1) for _ in range(16)]}
+        enc = pub.encrypt(inputs, sig)
+        out_np = Executor(compiled, pub.ctx, pub._keys, backend="numpy").run(enc)
+        out_jx = Executor(compiled, pub.ctx, pub._keys, backend="jax").run(enc)
+        for a, b in zip(out_np["z"].polys, out_jx["z"].polys):
+            assert np.array_equal(a, b)
