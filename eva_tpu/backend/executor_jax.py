@@ -107,11 +107,16 @@ class JaxProgram:
         self.types = types
         self.order = order
         self.dkeys = device_keys(ctx, keys)
-        # Rescale nodes consumed by a fused Rescale->Relinearize pair.
+        # Nodes consumed by fused pairs, in both adjacency orders.
         self._fused_rescales = {
             t.operands[0].index for t in order
             if t.op == Op.Relinearize
             and t.operands[0].op == Op.Rescale
+            and len(t.operands[0].uses) == 1}
+        self._fused_relins = {
+            t.operands[0].index for t in order
+            if t.op == Op.Rescale
+            and t.operands[0].op == Op.Relinearize
             and len(t.operands[0].uses) == 1}
         self._jitted = jax.jit(self._traced)
         self._sharded_cache: Dict[int, object] = {}
@@ -295,7 +300,9 @@ class JaxProgram:
                 vals[idx] = self._rotate(vals[args[0].index], steps, p.level,
                                          dev, hoist, args[0].index)
             elif op == Op.Relinearize:
-                if args[0].index in self._fused_rescales:
+                if idx in self._fused_relins:
+                    vals[idx] = vals[args[0].index]  # deferred into Rescale
+                elif args[0].index in self._fused_rescales:
                     prev = self.plan[args[0].operands[0].index]
                     vals[idx] = self._rescale_relin(
                         vals[args[0].index], prev.level)
@@ -311,6 +318,10 @@ class JaxProgram:
             elif op == Op.Rescale:
                 if idx in self._fused_rescales:
                     vals[idx] = vals[args[0].index]  # deferred into relin
+                elif args[0].index in self._fused_relins:
+                    prev = self.plan[args[0].operands[0].index]
+                    vals[idx] = self._relin_rescale(
+                        vals[args[0].index], prev.level)
                 else:
                     prev = self.plan[args[0].index]
                     vals[idx] = self._rescale(vals[args[0].index], prev.level)
@@ -366,6 +377,35 @@ class JaxProgram:
         k0, k1 = self.dkeys.relin
         d0, d1 = self._key_switch(polys[2], level, k0, k1)
         return [dev.add(polys[0], d0), dev.add(polys[1], d1)]
+
+    def _relin_rescale(self, polys, level: int):
+        """Fused Relinearize -> Rescale (eager-relin adjacency): key-switch
+        output stays in the coefficient domain, added to the iNTT'd
+        c0/c1, then one rescale division + NTT at the new level."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        entry = ctx.entries_at_level(level)[-1]
+        new_primes = primes[:len(primes) - len(entry.primes)]
+        dev = self._ops_at(level)
+        dev_new = level_ops(new_primes, ctx.n)
+        coeffs0 = dev.intt(polys[0])
+        coeffs1 = dev.intt(polys[1])
+        if len(polys) == 3:
+            digits = self._ks_digits(polys[2], level)
+            k0, k1 = self.dkeys.relin
+            d0, d1 = self._ks_apply(digits, level, k0, k1, coeff_out=True)
+            dev_cur = level_ops(primes, ctx.n)
+            coeffs0 = dev_cur.add(coeffs0, d0)
+            coeffs1 = dev_cur.add(coeffs1, d1)
+
+        def div(x):
+            prim = list(primes)
+            for _ in entry.primes:
+                x = self._divide_last(x, prim)
+                prim = prim[:-1]
+            return dev_new.ntt(x)
+
+        return [div(coeffs0), div(coeffs1)]
 
     def _rescale_relin(self, polys, level: int):
         """Fused Rescale -> Relinearize: coefficient-domain between steps,

@@ -227,6 +227,28 @@ def rescale_relinearize(ctx: CKKSContext, keys: KeySet,
     return Ciphertext([c0, c1], new_level, new_scale)
 
 
+def relinearize_rescale(ctx: CKKSContext, keys: KeySet,
+                        a: Ciphertext) -> Ciphertext:
+    """Fused Relinearize -> Rescale (the adjacency eager relinearization
+    emits). Key-switch output stays in the coefficient domain, is added
+    to the iNTT'd c0/c1, and one rescale division + NTT lands at the new
+    level - bit-identical to the unfused pair."""
+    primes = ctx.primes_at_level(a.level)
+    entry = ctx.entries_at_level(a.level)[-1]
+    new_primes = primes[:len(primes) - len(entry.primes)]
+    new_scale = a.scale / entry.product
+    coeffs0 = ctx.intt(a.polys[0], primes)
+    coeffs1 = ctx.intt(a.polys[1], primes)
+    if a.size == 3:
+        digits = _ks_digits(ctx, a.polys[2], a.level)
+        d0, d1 = _ks_apply(ctx, digits, a.level, keys.relin, coeff_out=True)
+        coeffs0 = ctx.add(coeffs0, d0, primes)
+        coeffs1 = ctx.add(coeffs1, d1, primes)
+    c0 = ctx.ntt(ctx.rescale_entry(coeffs0, a.level), new_primes)
+    c1 = ctx.ntt(ctx.rescale_entry(coeffs1, a.level), new_primes)
+    return Ciphertext([c0, c1], a.level + 1, new_scale)
+
+
 def hoist_digits(ctx: CKKSContext, a: Ciphertext):
     """Precompute the rotation digit decomposition of a ciphertext for
     reuse across multiple rotate() calls."""

@@ -287,11 +287,16 @@ class Executor:
         remaining: Dict[int, int] = {
             t.index: len(t.uses) for t in self.order}
         output_ids = {t.index for t in self.program.outputs.values()}
-        # Rescale nodes consumed by a fused Rescale->Relinearize pair.
+        # Nodes consumed by fused pairs, in both adjacency orders.
         fused_rescales = {
             t.operands[0].index for t in self.order
             if t.op == Op.Relinearize
             and t.operands[0].op == Op.Rescale
+            and len(t.operands[0].uses) == 1}
+        fused_relins = {
+            t.operands[0].index for t in self.order
+            if t.op == Op.Rescale
+            and t.operands[0].op == Op.Relinearize
             and len(t.operands[0].uses) == 1}
 
         def consume(term):
@@ -361,7 +366,9 @@ class Executor:
                     ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:
                 v = values[args[0].index]
-                if args[0].index in fused_rescales:
+                if term.index in fused_relins:
+                    values[term.index] = v  # deferred into the Rescale
+                elif args[0].index in fused_rescales:
                     values[term.index] = O.rescale_relinearize(ctx, keys, v)
                 else:
                     values[term.index] = O.relinearize(ctx, keys, v)
@@ -376,6 +383,9 @@ class Executor:
                     # Deferred: the consuming Relinearize applies the fused
                     # rescale+relinearize on this node's INPUT.
                     values[term.index] = values[args[0].index]
+                elif args[0].index in fused_relins:
+                    values[term.index] = O.relinearize_rescale(
+                        ctx, keys, values[args[0].index])
                 else:
                     values[term.index] = O.rescale(ctx, values[args[0].index])
             elif op == Op.Output:

@@ -202,3 +202,32 @@ class TestFusedRescaleRelin:
         out_jx = Executor(compiled, pub.ctx, pub._keys, backend="jax").run(enc)
         for a, b in zip(out_np["z"].polys, out_jx["z"].polys):
             assert np.array_equal(a, b)
+
+    def test_eager_adjacency_fused_bit_exact(self):
+        """With eager relinearization the graph emits Rescale(Relinearize);
+        both backends must fuse it identically."""
+        import random
+        random.seed(67)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.ir import Op
+        from eva_tpu.runtime import generate_keys, Executor
+
+        prog = EvaProgram("fusedE", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("z", (x * x) * (x * x))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false", "lazy_relinearize": "false"}).compile(prog)
+        assert any(t.op == Op.Rescale and t.operands[0].op == Op.Relinearize
+                   and len(t.operands[0].uses) == 1
+                   for t in compiled.topological_order())
+        pub, sec = generate_keys(params)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
+        enc = pub.encrypt(inputs, sig)
+        out_np = Executor(compiled, pub.ctx, pub._keys, backend="numpy").run(enc)
+        out_jx = Executor(compiled, pub.ctx, pub._keys, backend="jax").run(enc)
+        for a, b in zip(out_np["z"].polys, out_jx["z"].polys):
+            assert np.array_equal(a, b)
