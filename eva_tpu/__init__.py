@@ -17,10 +17,15 @@ from .reference import evaluate
 
 __all__ = [
     "Op", "Type", "Term", "Program", "Expr", "EvaProgram", "Input", "Output",
-    "py_to_eva", "evaluate", "save", "load", "set_num_threads",
+    "py_to_eva", "evaluate", "save", "load", "set_num_threads", "version",
 ]
 
 __version__ = "0.1.0"
+
+
+def version() -> str:
+    """Package version string (reference: eva/version.h/.cpp)."""
+    return __version__
 
 _state = threading.local()
 

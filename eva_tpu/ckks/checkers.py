@@ -28,6 +28,10 @@ class LevelsChecker:
             return
         operand_level = None
         for operand in term.operands:
+            assert self.types[operand] != Type.Undef, (
+                f"t{operand.index} ({operand.op.name}) reached validation "
+                f"untyped — a transform pass created it after the last "
+                f"TypeDeducer run without stamping its type")
             if self.types[operand] == Type.Cipher:
                 if operand_level is None:
                     operand_level = self.levels[operand]

@@ -20,4 +20,9 @@ class BackendLowering:
                 and self.types[term.operand_at(1)] == Type.Cipher):
             negation = self.program.make_term(Op.Negate, [term.operand_at(1)])
             addition = self.program.make_term(Op.Add, [term.operand_at(0), negation])
+            # This is the last transform pass — no TypeDeducer runs after it,
+            # so the created terms must be typed here or the validation
+            # checkers would see Undef and silently treat them as non-cipher.
+            self.types[negation] = Type.Cipher
+            self.types[addition] = Type.Cipher
             term.replace_all_uses_with(addition)

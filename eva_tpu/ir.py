@@ -256,6 +256,38 @@ class Term:
         return f"t{self.index}:{self.op.name}"
 
 
+class OrderedTermSet:
+    """Set of terms with deterministic (insertion-ordered) iteration.
+
+    Built-in sets hash terms by id(), so iteration order varies between
+    otherwise-identical processes; traversal order feeds pass decisions
+    (e.g. where ModSwitcher places switches), which made compilation
+    output nondeterministic. A dict keyed by term restores determinism."""
+
+    __slots__ = ("_data",)
+
+    def __init__(self):
+        self._data: Dict[Term, None] = {}
+
+    def add(self, term: "Term") -> None:
+        self._data[term] = None
+
+    def discard(self, term: "Term") -> None:
+        self._data.pop(term, None)
+
+    def pop(self) -> "Term":
+        return self._data.popitem()[0]
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def __len__(self) -> int:
+        return len(self._data)
+
+    def __contains__(self, term: "Term") -> bool:
+        return term in self._data
+
+
 class Program:
     """Graph container. Reference: eva/ir/program.h:24-152."""
 
@@ -267,9 +299,9 @@ class Program:
         self._name = name
         self._vec_size = int(vec_size)
         self._next_index = 0
-        self._sources: set = set()
-        self._sinks: set = set()
-        self._orphans: set = set()
+        self._sources = OrderedTermSet()
+        self._sinks = OrderedTermSet()
+        self._orphans = OrderedTermSet()
         self._inputs: Dict[str, Term] = {}
         self._outputs: Dict[str, Term] = {}
         self._creation_log: List[Term] = []
@@ -292,7 +324,7 @@ class Program:
         Matches the reference's shared_ptr refcount deletion semantics
         (a term dies when its last use disappears unless the program's
         input/output maps hold it; deletion cascades to operands)."""
-        deferred = set()
+        deferred = OrderedTermSet()
         while self._orphans:
             term = self._orphans.pop()
             if term.uses:

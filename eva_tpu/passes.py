@@ -154,7 +154,21 @@ class ReductionLogExpander:
                 nxt: List[Term] = []
                 i = 0
                 while i + 1 < len(operands):
-                    nxt.append(self.program.make_term(term.op, [operands[i], operands[i + 1]]))
+                    pair = self.program.make_term(
+                        term.op, [operands[i], operands[i + 1]])
+                    # No TypeDeducer runs between this pass and the rescaler,
+                    # so created pairs must be typed here: sorting constants
+                    # first routinely pairs two Raw operands, and an untyped
+                    # (Undef) pair would be rescaled as if it were a cipher.
+                    if any(self.types[o] == Type.Cipher for o in pair.operands):
+                        self.types[pair] = Type.Cipher
+                    else:
+                        self.types[pair] = Type.Raw
+                    self.scale[pair] = (
+                        sum(self.scale.at(o) for o in pair.operands)
+                        if term.op == Op.Mul
+                        else max(self.scale.at(o) for o in pair.operands))
+                    nxt.append(pair)
                     i += 2
                 if i < len(operands):
                     nxt.append(operands[i])

@@ -131,41 +131,54 @@ class Executor:
             self.plan[t.index].scale *= ratio
         return True
 
+    def _other_uses_unplanned(self, term: Term, child: Optional[Term]) -> bool:
+        """A node may be rescaled in the plan if every consumer other than
+        the path we arrived from has not been planned yet: later-planned
+        consumers read the adjusted upstream scale, so the plan stays
+        consistent. An already-planned consumer would be left stale."""
+        for use in term.uses:
+            if use is child:
+                continue
+            if use.index in self.plan:
+                return False
+        return True
+
     def _gather_compensation(self, term: Term, adjustments: List[Term],
-                             depth: int) -> bool:
+                             depth: int, child: Optional[Term] = None) -> bool:
         if depth > 64:
             return False
         cur = term
         for _ in range(64):
-            if len(cur.uses) > 1:
+            if not self._other_uses_unplanned(cur, child):
                 return False
             adjustments.append(cur)
             if cur.op == Op.Mul:
                 enc = None
                 for o in cur.operands:
-                    if o.op == Op.Encode and len(o.uses) == 1:
+                    if o.op == Op.Encode and self._other_uses_unplanned(o, cur):
                         enc = o
                 if enc is not None:
                     adjustments.append(enc)
                     return True
                 nxt = [o for o in cur.operands if self.types[o] != Type.Raw]
                 if len(nxt) == 1:
-                    cur = nxt[0]
+                    child, cur = cur, nxt[0]
                     continue
                 # ct-ct multiply: scales multiply, so the ratio can be
                 # absorbed through EITHER factor; try each transactionally.
                 for o in nxt:
                     tmp: List[Term] = []
-                    if self._gather_compensation(o, tmp, depth + 1):
+                    if self._gather_compensation(o, tmp, depth + 1, cur):
                         adjustments.extend(tmp)
                         return True
                 return False
             elif cur.op in (Op.Rescale, Op.ModSwitch, Op.Relinearize, Op.Negate):
-                cur = cur.operands[0]
+                child, cur = cur, cur.operands[0]
             elif cur.op in (Op.Add, Op.Sub):
                 cipherish = [o for o in cur.operands
                              if self.types[o] != Type.Raw]
-                return all(self._gather_compensation(o, adjustments, depth + 1)
+                return all(self._gather_compensation(o, adjustments,
+                                                     depth + 1, cur)
                            for o in cipherish)
             elif cur.op == Op.Encode:
                 # Additive plaintext partner: rescaling its encode scale

@@ -79,6 +79,35 @@ class TestFuzz:
                 f"fuzz program {i} compile-stage MSE {mse} "
                 f"(vec={prog.vec_size})")
 
+    def test_lowered_sub_reaches_validation_typed(self):
+        """Regression (deep-fuzz case 1058): BackendLowering rewrites
+        `plain - cipher` into Add(plain, Negate(cipher)) as the LAST pass,
+        after the final TypeDeducer. The created terms reached the
+        validation checkers untyped (Type.Undef), so LevelsChecker treated
+        the cipher chain as non-cipher and spuriously asserted a level
+        mismatch whenever the lowered branch joined a rescaled branch.
+        Lowering must stamp types on the terms it creates."""
+        for rescaler in ("always", "lazy_waterline", "eager_waterline"):
+            for lazy_relin in ("true", "false"):
+                prog = EvaProgram("lowered_sub", vec_size=8)
+                with prog:
+                    p = Input("p", False)   # plain input
+                    x = Input("x")          # cipher input
+                    d = -(p - x)            # Sub(plain, cipher): gets lowered
+                    m = (x + p) * [0.5] * 8         # 1 rescale ('always')
+                    Output("y0", d + m)     # joins level-0 and level-1 paths
+                    Output("y1", m * ([0.25] * 8))  # forces modswitching
+                prog.set_output_ranges(25)
+                prog.set_input_scales(60)
+                inputs = {"p": [i * 0.1 for i in range(8)],
+                          "x": [0.3 - i * 0.05 for i in range(8)]}
+                reference = evaluate(prog, inputs)
+                compiled, params, sig = CKKSCompiler(
+                    {"rescaler": rescaler, "lazy_relinearize": lazy_relin,
+                     "warn_vec_size": "false"}).compile(prog)
+                mse = valuation_mse(reference, evaluate(compiled, inputs))
+                assert mse < 1e-10, (rescaler, lazy_relin, mse)
+
     def test_he_roundtrip_sample(self):
         """Full HE round-trip on a sample of random programs."""
         rng = random.Random(0xBEEF)
