@@ -16,6 +16,7 @@ tensor shape is static and one jit compilation covers the program."""
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Dict, List, Tuple
 
 import numpy as np
@@ -66,7 +67,30 @@ def _to_u32(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
-from .modmath import to_mont_rows as _to_mont_rows  # shared converter
+from .modmath import to_mont, to_mont_rows as _to_mont_rows  # shared converters
+
+
+@lru_cache(maxsize=None)
+def _ks_dev_tables(ctx, level: int, alpha: int):
+    """Montgomery-form fast-base-extension constants for hybrid key-switch
+    decomposition (see CKKSContext.ks_tables). Returned as numpy so they
+    embed as trace constants.
+
+    inv_mont: [n_cur, 1] — [(Qg_t/q_t)^-1]_{q_t} in Montgomery form of q_t
+    conv_mont: [n_groups*alpha, n_ext, 1] — (Qg_t/q_t) mod basis[i] in
+      Montgomery form of basis[i]; padding rows (beyond n_cur) are zero."""
+    primes = ctx.primes_at_level(level)
+    basis = primes + ctx.key_primes
+    groups, inv, conv = ctx.ks_tables(level, alpha)
+    n_groups = len(groups)
+    n_cur = len(primes)
+    inv_mont = np.empty((n_cur, 1), dtype=np.uint32)
+    for t, q in enumerate(primes):
+        inv_mont[t, 0] = to_mont(np.array([inv[t]], dtype=np.uint64), q)[0]
+    conv_mont = np.zeros((n_groups * alpha, len(basis), 1), dtype=np.uint32)
+    for i, q in enumerate(basis):
+        conv_mont[:n_cur, i, 0] = to_mont(conv[:, i], q)
+    return n_groups, inv_mont, conv_mont
 
 
 class DeviceKeys:
@@ -156,20 +180,44 @@ class JaxProgram:
         return self._ks_digits_from_coeffs(dev.intt(poly), level)
 
     def _ks_digits_from_coeffs(self, coeffs, level: int):
-        """Digits from COEFFICIENT-domain input (fusion entry point)."""
+        """Digits from COEFFICIENT-domain input (fusion entry point).
+
+        alpha=1: the raw residue rows broadcast into every basis row are
+        valid unreduced inputs (the NTT twist performs per-prime
+        reduction), so decomposition is free. alpha>1 (hybrid digits):
+        fast base extension D_j mod q_i = sum_t (d_t*inv_t mod q_t) *
+        conv[t][i] — a couple of elementwise Montgomery multiplies — then
+        alpha-times FEWER rows go through the NTT, the dominant cost.
+        Bit-identical to crypto/ops._ks_digits_from_coeffs."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
         ext = self._ext_ops_at(level)
         n_cur = len(primes)
         n_ext = n_cur + len(ctx.key_primes)
-        # Stack all digits into one leading axis and run ONE batched NTT:
-        # [..., n_cur(digit), n_ext(limb), N]. The raw rows are valid
-        # unreduced inputs; the NTT twist performs per-prime reduction.
-        stacked = jnp.broadcast_to(
-            coeffs[..., :, None, :],
-            coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
-        d_ntt = ext.ntt(stacked)
-        return [d_ntt[..., j, :, :] for j in range(n_cur)]
+        alpha = self.keys.ks_alpha
+        if alpha == 1:
+            stacked = jnp.broadcast_to(
+                coeffs[..., :, None, :],
+                coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
+            d_ntt = ext.ntt(stacked)
+            return [d_ntt[..., j, :, :] for j in range(n_cur)]
+        dev = self._ops_at(level)
+        n_groups, inv_mont, conv_mont = _ks_dev_tables(ctx, level, alpha)
+        y = dev.mul_mont(coeffs, inv_mont)  # [..., n_cur, N], y_t < q_t
+        pad = n_groups * alpha - n_cur
+        if pad:
+            y = jnp.concatenate(
+                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)], axis=-2)
+        yb = jnp.broadcast_to(
+            y[..., :, None, :],
+            y.shape[:-2] + (n_groups * alpha, n_ext, ctx.n))
+        prod = ext.mul_mont(yb, conv_mont)  # reduces mod basis[i]
+        g = prod.reshape(prod.shape[:-3] + (n_groups, alpha, n_ext, ctx.n))
+        acc = g[..., 0, :, :]
+        for k in range(1, alpha):
+            acc = ext.add(acc, g[..., k, :, :])
+        d_ntt = ext.ntt(acc)  # [..., n_groups, n_ext, N]
+        return [d_ntt[..., j, :, :] for j in range(n_groups)]
 
     def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None,
                   coeff_out=False):

@@ -43,6 +43,74 @@ class CKKSContext:
     def primes_at_level(self, level: int) -> List[int]:
         return [q for e in self.entries_at_level(level) for q in e.primes]
 
+    # -- hybrid key-switch decomposition (grouped RNS digits) ----------------
+    # Digit j covers `alpha` consecutive data sub-primes; the key embeds the
+    # level-independent full-basis gadget P * Qhat_j * [Qhat_j^-1 mod Q_j].
+    # At a given level only the alive prefix of each group participates:
+    # D_j is CRT-composed from the alive sub-group, which still satisfies
+    # D_j == x (mod q_i) for every alive q_i in the group — the only
+    # congruences the gadget identity needs. alpha=1 degenerates to the
+    # per-sub-prime scheme (inv = conv = 1). Reference counterpart: SEAL
+    # switch-key decomposition (seal_executor.h:114-215 call sites); the
+    # grouping generalization follows the standard "hybrid/dnum" design.
+
+    def ks_groups(self, alpha: int) -> List[List[int]]:
+        """Full-basis group index lists, packed greedily up to `alpha`
+        consecutive sub-primes per group WHILE the group product stays at
+        or below the special modulus P: the key-switch rounding term
+        scales with Q_j/P, so a group exceeding P would blow up noise
+        (the P-division only suppresses digits up to ~P). With P one
+        60-bit entry and 31-bit sub-primes this packs 60-bit rescale
+        entries pairwise and leaves small singles alone."""
+        # One bit of slack: P and a same-bit-width group product differ by
+        # the prime-pair lattice error (~2^-9..2^-19 relative), so a strict
+        # <= P test would reject the standard 60-bit-entry pairing. A group
+        # up to 2P keeps the rounding term within ~2x of the P-sized ideal.
+        P2 = 2 * self.key_entry.product
+        groups: List[List[int]] = []
+        cur: List[int] = []
+        prod = 1
+        for t, q in enumerate(self.data_primes):
+            if cur and (len(cur) >= alpha or prod * q > P2):
+                groups.append(cur)
+                cur, prod = [], 1
+            cur.append(t)
+            prod *= q
+        if cur:
+            groups.append(cur)
+        return groups
+
+    @lru_cache(maxsize=None)
+    def ks_tables(self, level: int, alpha: int):
+        """Per-level fast-base-extension constants.
+
+        Returns (groups, inv, conv):
+          groups: list of alive-index lists (prefix of ks_groups, clipped)
+          inv[t]  = [(Qg_t / q_t)^-1 mod q_t]          (uint64, [n_cur])
+          conv[t][i] = (Qg_t / q_t) mod basis[i]       (uint64, [n_cur, n_ext])
+        where Qg_t is the product of ALIVE primes in t's group and basis is
+        data-primes-at-level + key primes. Digit j, coefficient-wise:
+          D_j mod basis[i] = sum_{t in group_j} (d_t * inv[t] mod q_t) * conv[t][i]
+        """
+        primes = self.primes_at_level(level)
+        basis = primes + self.key_primes
+        n_cur = len(primes)
+        groups = [[t for t in g if t < n_cur]
+                  for g in self.ks_groups(alpha)]
+        groups = [g for g in groups if g]
+        inv = np.ones(n_cur, dtype=np.uint64)
+        conv = np.ones((n_cur, len(basis)), dtype=np.uint64)
+        for g in groups:
+            qg = 1
+            for t in g:
+                qg *= primes[t]
+            for t in g:
+                qhat = qg // primes[t]
+                inv[t] = pow(qhat % primes[t], -1, primes[t])
+                for i, q in enumerate(basis):
+                    conv[t, i] = qhat % q
+        return groups, inv, conv
+
     # -- NTT over stacked limbs ----------------------------------------------
 
     def ntt(self, arr: np.ndarray, primes: Sequence[int]) -> np.ndarray:

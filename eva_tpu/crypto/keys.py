@@ -57,13 +57,18 @@ class PublicKey:
 
 
 class KSwitchKey:
-    """One key per gadget digit: pairs (k0_j, k1_j) over data+key basis."""
+    """One key per gadget digit: pairs (k0_j, k1_j) over data+key basis.
+
+    `alpha` is the decomposition group size the key was generated for
+    (data sub-primes per digit); the runtime must decompose with the
+    same grouping, so it travels with the key material."""
 
     def __init__(self, k0: List[np.ndarray], k1: List[np.ndarray],
-                 k1_seeds: List[bytes] = None):
+                 k1_seeds: List[bytes] = None, alpha: int = 1):
         self.k0 = k0  # per digit: [n_all, N] NTT
         self.k1 = k1
         self.k1_seeds = k1_seeds  # per digit seeds regenerating k1
+        self.alpha = alpha
 
 
 class KeySet:
@@ -74,6 +79,14 @@ class KeySet:
         self.public = public
         self.relin = relin
         self.galois = galois  # galois element -> key
+
+    @property
+    def ks_alpha(self) -> int:
+        if self.relin is not None:
+            return self.relin.alpha
+        for k in self.galois.values():
+            return k.alpha
+        return 1
 
 
 def _sample_error(ctx: CKKSContext, rng) -> np.ndarray:
@@ -99,14 +112,19 @@ def expand_uniform(ctx: CKKSContext, primes: List[int],
 
 
 def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
-                      rng) -> KSwitchKey:
-    """Encrypt P * g_j * target under s, one digit per data SUB-prime.
+                      rng, alpha: int = 1) -> KSwitchKey:
+    """Encrypt P * g_j * target under s, one digit per GROUP of `alpha`
+    consecutive data sub-primes (hybrid/"dnum" key switching).
 
-    Per-sub-prime gadget digits keep every digit below 2^31, so the
-    device backend decomposes by simply re-broadcasting residue rows
-    (no multi-word CRT on device). target_ntt: [n_all, N] NTT-domain
-    residues of the key being switched FROM (s^2 for relinearization,
-    sigma_g(s) for rotations)."""
+    g_j = Qhat_j * [Qhat_j^-1 mod Q_j] over the FULL data basis is
+    level-independent: at lower levels the digit is CRT-composed from the
+    group's alive prefix only, which still satisfies D_j == x (mod q_i)
+    for every alive q_i of the group — the only congruences the identity
+    sum_j D_j * g_j == x (mod alive primes) requires, since q_i | Q_j and
+    Qhat_{j'} == 0 (mod q_i) for j' != j. alpha=1 is the per-sub-prime
+    scheme (digits < 2^31, decomposition is a raw row re-broadcast).
+    target_ntt: [n_all, N] NTT-domain residues of the key being switched
+    FROM (s^2 for relinearization, sigma_g(s) for rotations)."""
     basis = ctx.all_primes
     P = ctx.key_entry.product
     Q = 1
@@ -114,9 +132,12 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
         Q *= q
     s_rows = s.s  # full basis
     k0, k1, k1_seeds = [], [], []
-    for q_j in ctx.data_primes:
-        Qhat = Q // q_j
-        g_j = Qhat * pow(Qhat % q_j, q_j - 2, q_j)
+    for group in ctx.ks_groups(alpha):
+        Q_j = 1
+        for t in group:
+            Q_j *= ctx.data_primes[t]
+        Qhat = Q // Q_j
+        g_j = Qhat * pow(Qhat % Q_j, -1, Q_j)
         factor = P * g_j
         a_seed = secrets.token_bytes(32)
         k1_seeds.append(a_seed)
@@ -131,10 +152,24 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
             e_ntt, basis)
         k0.append(b)
         k1.append(a)
-    return KSwitchKey(k0, k1, k1_seeds)
+    return KSwitchKey(k0, k1, k1_seeds, alpha=alpha)
 
 
-def generate_keys(ctx: CKKSContext) -> KeySet:
+def default_ks_alpha() -> int:
+    """Decomposition group size: EVA_TPU_KS_ALPHA, default 2.
+
+    alpha=2 halves the key-switch NTT and MAC work (half the digits over
+    the same extended basis) at the cost of a modestly larger rounding
+    term (digits bounded by ~alpha * Q_j instead of q_j); with 31-bit
+    sub-primes and a 60-bit special modulus the extra noise is a small
+    constant factor over the fresh-encryption noise."""
+    import os
+    return max(1, int(os.environ.get("EVA_TPU_KS_ALPHA", "2")))
+
+
+def generate_keys(ctx: CKKSContext, alpha: int = None) -> KeySet:
+    if alpha is None:
+        alpha = default_ks_alpha()
     rng = _rng()
     s = SecretKey(ctx, _sample_ternary(ctx, rng))
 
@@ -149,7 +184,7 @@ def generate_keys(ctx: CKKSContext) -> KeySet:
 
     # Relinearization key: s^2 -> s.
     s2 = (s.s * s.s) % ctx.qvec(ctx.all_primes)
-    relin = _make_kswitch_key(ctx, s, s2, rng)
+    relin = _make_kswitch_key(ctx, s, s2, rng, alpha)
 
     # Galois keys, one per rotation step.
     galois: Dict[int, KSwitchKey] = {}
@@ -158,7 +193,7 @@ def generate_keys(ctx: CKKSContext) -> KeySet:
         if g in galois:
             continue
         s_g = ctx.apply_automorphism(s.s, g)
-        galois[g] = _make_kswitch_key(ctx, s, s_g, rng)
+        galois[g] = _make_kswitch_key(ctx, s, s_g, rng, alpha)
     return KeySet(ctx, s, public, relin, galois)
 
 

@@ -98,27 +98,40 @@ def multiply_plain(ctx: CKKSContext, a: Ciphertext, p: Plaintext) -> Ciphertext:
 # -- key switching -----------------------------------------------------------
 
 
-def _ks_digits_from_coeffs(ctx: CKKSContext, coeffs: np.ndarray, level: int):
-    """Digits from a COEFFICIENT-domain polynomial (fusion entry point)."""
+def _ks_digits_from_coeffs(ctx: CKKSContext, coeffs: np.ndarray, level: int,
+                           alpha: int = 1):
+    """Digits from a COEFFICIENT-domain polynomial (fusion entry point).
+
+    Hybrid decomposition: digit j is CRT-composed from its group's alive
+    sub-primes via fast base extension,
+      D_j mod q_i = sum_{t in group_j} (d_t * inv_t mod q_t) * conv[t][i],
+    with constants from ctx.ks_tables. alpha=1 degenerates to the raw
+    row re-broadcast (inv = conv = 1)."""
     primes = ctx.primes_at_level(level)
     basis = primes + ctx.key_primes
+    groups, inv, conv = ctx.ks_tables(level, alpha)
     digits = []
-    for j in range(len(primes)):
-        # Broadcast the residue row into every basis prime (each digit
-        # value < q_j < 2^31).
+    for group in groups:
+        # y_t < q_t; products y_t * conv < 2^62, sums of <=alpha terms
+        # stay below 2^64 for alpha <= 4.
+        ys = [(coeffs[t] * inv[t]) % np.uint64(primes[t]) for t in group]
         d = np.empty((len(basis), ctx.n), dtype=np.uint64)
         for i, q in enumerate(basis):
-            d[i] = coeffs[j] % np.uint64(q)
+            acc = ys[0] * conv[group[0], i]
+            for k in range(1, len(group)):
+                acc = acc + ys[k] * conv[group[k], i]
+            d[i] = acc % np.uint64(q)
         digits.append(ctx.ntt(d, basis))
     return digits
 
 
-def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int):
-    """Per-sub-prime gadget digits, NTT'd in the extended basis — the
-    dominant key-switch cost. Hoisted rotations share this across all
-    rotations of one source ciphertext."""
+def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
+               alpha: int = 1):
+    """Grouped gadget digits, NTT'd in the extended basis — the dominant
+    key-switch cost. Hoisted rotations share this across all rotations of
+    one source ciphertext."""
     return _ks_digits_from_coeffs(
-        ctx, ctx.intt(poly_ntt, ctx.primes_at_level(level)), level)
+        ctx, ctx.intt(poly_ntt, ctx.primes_at_level(level)), level, alpha)
 
 
 def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
@@ -156,7 +169,8 @@ def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
                 ksk: KSwitchKey):
     """Switch one NTT-domain polynomial to the secret key the ksk targets.
     Returns (d0, d1): NTT-domain [n_cur, N] planes to add to the ciphertext."""
-    return _ks_apply(ctx, _ks_digits(ctx, poly_ntt, level), level, ksk)
+    return _ks_apply(ctx, _ks_digits(ctx, poly_ntt, level, ksk.alpha),
+                     level, ksk)
 
 
 def relinearize(ctx: CKKSContext, keys: KeySet, a: Ciphertext) -> Ciphertext:
@@ -190,7 +204,7 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
     c0 = ctx.apply_automorphism(a.polys[0], g)
     digits = hoisted_digits
     if digits is None:
-        digits = _ks_digits(ctx, a.polys[1], a.level)
+        digits = _ks_digits(ctx, a.polys[1], a.level, keys.ks_alpha)
     d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g], perm=perm)
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
 
@@ -219,7 +233,8 @@ def rescale_relinearize(ctx: CKKSContext, keys: KeySet,
     if a.size == 2:
         return Ciphertext([ctx.ntt(c, new_primes) for c in coeffs],
                           new_level, new_scale)
-    digits = _ks_digits_from_coeffs(ctx, coeffs[2], new_level)
+    digits = _ks_digits_from_coeffs(ctx, coeffs[2], new_level,
+                                    keys.ks_alpha)
     d0, d1 = _ks_apply(ctx, digits, new_level, keys.relin, coeff_out=True)
     qv = ctx.qvec(new_primes)
     c0 = ctx.ntt(ctx.add(coeffs[0], d0, new_primes), new_primes)
@@ -240,7 +255,7 @@ def relinearize_rescale(ctx: CKKSContext, keys: KeySet,
     coeffs0 = ctx.intt(a.polys[0], primes)
     coeffs1 = ctx.intt(a.polys[1], primes)
     if a.size == 3:
-        digits = _ks_digits(ctx, a.polys[2], a.level)
+        digits = _ks_digits(ctx, a.polys[2], a.level, keys.ks_alpha)
         d0, d1 = _ks_apply(ctx, digits, a.level, keys.relin, coeff_out=True)
         coeffs0 = ctx.add(coeffs0, d0, primes)
         coeffs1 = ctx.add(coeffs1, d1, primes)
@@ -249,10 +264,11 @@ def relinearize_rescale(ctx: CKKSContext, keys: KeySet,
     return Ciphertext([c0, c1], a.level + 1, new_scale)
 
 
-def hoist_digits(ctx: CKKSContext, a: Ciphertext):
+def hoist_digits(ctx: CKKSContext, a: Ciphertext, alpha: int = 1):
     """Precompute the rotation digit decomposition of a ciphertext for
-    reuse across multiple rotate() calls."""
-    return _ks_digits(ctx, a.polys[1], a.level)
+    reuse across multiple rotate() calls. `alpha` must match the key
+    set's decomposition group size (KeySet.ks_alpha)."""
+    return _ks_digits(ctx, a.polys[1], a.level, alpha)
 
 
 # -- level changes ------------------------------------------------------------

@@ -374,7 +374,7 @@ class Executor:
                 src = args[0].index
                 ct = values[src]
                 if steps % (ctx.n // 2) != 0 and src not in hoist:
-                    hoist[src] = O.hoist_digits(ctx, ct)
+                    hoist[src] = O.hoist_digits(ctx, ct, self.keys.ks_alpha)
                 values[term.index] = O.rotate(
                     ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:

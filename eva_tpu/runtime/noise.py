@@ -74,6 +74,25 @@ def estimate_noise(compiled: Program, params, signature,
     sigma_ks = math.sqrt(2 * n / 3) * 0.5
     noise: Dict[int, float] = {}
 
+    def sigma_keyswitch(level: int) -> float:
+        """P-division rounding plus the hybrid-digit term: with grouped
+        digits D_j ~ uniform[0, a_j*Qg_j), sum_j D_j*e_j / P contributes
+        sigma * sqrt(N/3 * sum_j (a_j*Qg_j/P)^2) per coefficient (for
+        alpha=1 digits q_t/P ~ 2^-29 makes this negligible)."""
+        from ..crypto.keys import default_ks_alpha
+        alpha = default_ks_alpha()
+        P = ctx.key_entry.product
+        groups, _, _ = ctx.ks_tables(level, alpha)
+        primes = ctx.primes_at_level(level)
+        s = 0.0
+        for g in groups:
+            qg = 1.0
+            for t in g:
+                qg *= primes[t]
+            s += (len(g) * qg / P) ** 2
+        digit_term = SIGMA * math.sqrt(n / 3 * s)
+        return math.hypot(sigma_ks, digit_term)
+
     def rms(term):
         try:
             return float(np.sqrt(np.mean(np.asarray(ref.terms.at(term)) ** 2)))
@@ -113,8 +132,9 @@ def estimate_noise(compiled: Program, params, signature,
             noise[term.index] = math.hypot(noise.get(args[0].index, 0.0) / q,
                                            sigma_ks)
         elif op in (Op.RotateLeftConst, Op.RotateRightConst, Op.Relinearize):
-            noise[term.index] = math.hypot(noise.get(args[0].index, 0.0),
-                                           sigma_ks)
+            noise[term.index] = math.hypot(
+                noise.get(args[0].index, 0.0),
+                sigma_keyswitch(planner.plan[args[0].index].level))
         else:  # ModSwitch, Negate, Output
             noise[term.index] = noise.get(args[0].index, 0.0)
 

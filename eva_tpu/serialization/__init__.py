@@ -229,16 +229,18 @@ def _ksk_to_msg(ksk, msg) -> None:
     else:
         for d in ksk.k1:
             _poly_to_msg(d, msg.k1.add())
+    msg.ks_alpha = ksk.alpha
 
 
 def _ksk_from_msg(msg, ctx):
     from ..crypto.keys import KSwitchKey, expand_uniform
+    alpha = msg.ks_alpha or 1  # 0 = pre-hybrid file, per-sub-prime digits
     k0 = [_poly_from_msg(p) for p in msg.k0]
     if msg.k1_seeds:
         seeds = [bytes(sd) for sd in msg.k1_seeds]
         k1 = [expand_uniform(ctx, ctx.all_primes, sd) for sd in seeds]
-        return KSwitchKey(k0, k1, seeds)
-    return KSwitchKey(k0, [_poly_from_msg(p) for p in msg.k1])
+        return KSwitchKey(k0, k1, seeds, alpha=alpha)
+    return KSwitchKey(k0, [_poly_from_msg(p) for p in msg.k1], alpha=alpha)
 
 
 def serialize_public(pub):

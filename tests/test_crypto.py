@@ -151,3 +151,74 @@ class TestHomomorphicOps:
         assert np.max(np.abs(K.decrypt(ctx, keyset, O.add_plain(ctx, ct, pt)) - (v1 + v2))) < 1e-5
         assert np.max(np.abs(K.decrypt(ctx, keyset, O.sub_plain(ctx, ct, pt)) - (v1 - v2))) < 1e-5
         assert np.max(np.abs(K.decrypt(ctx, keyset, O.multiply_plain(ctx, ct, pt)) - v1 * v2)) < 1e-4
+
+
+class TestHybridKeySwitch:
+    """Grouped (hybrid/dnum) key-switch decomposition: alpha sub-primes
+    per gadget digit, groups packed while the product stays <= 2P
+    (CKKSContext.ks_groups). Counterpart of the reference's SEAL
+    switch-key path (seal_executor.h:114-215) generalized per the
+    standard hybrid design."""
+
+    def test_groups_respect_special_modulus(self, ctx):
+        P = ctx.key_entry.product
+        for alpha in (2, 3, 4):
+            groups = ctx.ks_groups(alpha)
+            flat = [t for g in groups for t in g]
+            assert flat == list(range(len(ctx.data_primes)))
+            for g in groups:
+                assert len(g) <= alpha
+                prod = 1
+                for t in g:
+                    prod *= ctx.data_primes[t]
+                assert prod <= 2 * P
+
+    @pytest.mark.parametrize("alpha", [2, 3])
+    def test_rotation_and_relin_all_levels(self, ctx, alpha):
+        ks = K.generate_keys(ctx, alpha=alpha)
+        assert ks.ks_alpha == alpha
+        vals = np.cos(np.arange(ctx.n // 2) * 0.05)
+        ct = K.encrypt(ctx, ks, vals, 2.0 ** 60, 0)
+        expect = vals.copy()
+        # walk down the chain: square+relin+rescale, rotating at each level
+        for level in range(len(ctx.data_entries) - 1):
+            rot = O.rotate(ctx, ks, ct, 1)
+            dec = K.decrypt(ctx, ks, rot)
+            assert np.max(np.abs(dec - np.roll(expect, -1))) < 1e-3, level
+            ct = O.rescale(ctx, O.relinearize(ctx, ks, O.multiply(ctx, ct, ct)))
+            expect = expect * expect
+
+    def test_digits_match_numpy_jax(self, ctx):
+        """Decomposition is bit-identical between backends (covered more
+        broadly in test_jax_backend; this pins the digit tensors)."""
+        from eva_tpu.backend.executor_jax import JaxProgram, device_keys, _ks_dev_tables
+        import jax.numpy as jnp
+        ks = K.generate_keys(ctx, alpha=2)
+        rng = np.random.default_rng(7)
+        primes = ctx.primes_at_level(0)
+        poly = np.stack([rng.integers(0, q, ctx.n, dtype=np.uint64)
+                         for q in primes])
+        np_digits = O._ks_digits(ctx, poly, 0, 2)
+        jp = JaxProgram.__new__(JaxProgram)
+        jp.ctx, jp.keys = ctx, ks
+        jp.dkeys = device_keys(ctx, ks)
+        jax_digits = jp._ks_digits(jnp.asarray(poly[None].astype(np.uint32)), 0)
+        assert len(jax_digits) == len(np_digits)
+        for a, b in zip(np_digits, jax_digits):
+            np.testing.assert_array_equal(
+                a.astype(np.uint64), np.asarray(b)[0].astype(np.uint64))
+
+    def test_ks_alpha_serialization_roundtrip(self, ctx):
+        from eva_tpu.serialization import (_ksk_to_msg, _ksk_from_msg,
+                                           evatpu_pb2)
+        ks = K.generate_keys(ctx, alpha=2)
+        msg = evatpu_pb2.KSwitchKeyMsg()
+        _ksk_to_msg(ks.relin, msg)
+        clone = _ksk_from_msg(msg, ctx)
+        assert clone.alpha == 2
+        assert len(clone.k0) == len(ks.relin.k0)
+        # absent field (pre-hybrid file) loads as alpha=1
+        msg2 = evatpu_pb2.KSwitchKeyMsg()
+        _ksk_to_msg(K.generate_keys(ctx, alpha=1).relin, msg2)
+        msg2.ks_alpha = 0
+        assert _ksk_from_msg(msg2, ctx).alpha == 1

@@ -44,7 +44,7 @@ def rotation():
     primes = ctx.primes_at_level(0)
     dev = level_ops(primes, ctx.n)
     jp = JaxProgram.__new__(JaxProgram)
-    jp.ctx, jp.dkeys = ctx, dk
+    jp.ctx, jp.dkeys, jp.keys = ctx, dk, ks
 
     batch = 8
     def planes(seed):
