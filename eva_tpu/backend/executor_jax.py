@@ -28,6 +28,7 @@ from ..crypto import keys as K
 from ..crypto.ciphertext import Ciphertext, Plaintext
 from ..crypto.context import CKKSContext
 from ..ir import ROTATION, Op, Program, Term, Type
+from ..passes import rotation_hoist_sources
 from .tables import DeviceLevelOps
 
 _LEVEL_OPS_CACHE: Dict[Tuple[int, ...], DeviceLevelOps] = {}
@@ -142,6 +143,7 @@ class JaxProgram:
             if t.op == Op.Rescale
             and t.operands[0].op == Op.Relinearize
             and len(t.operands[0].uses) == 1}
+        self._hoisted_sources = rotation_hoist_sources(order)
         self._jitted = jax.jit(self._traced)
         self._sharded_cache: Dict[int, object] = {}
 
@@ -345,8 +347,13 @@ class JaxProgram:
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
-                vals[idx] = self._rotate(vals[args[0].index], steps, p.level,
-                                         dev, hoist, args[0].index)
+                if args[0].index in self._hoisted_sources:
+                    vals[idx] = self._rotate(vals[args[0].index], steps,
+                                             p.level, dev, hoist,
+                                             args[0].index)
+                else:
+                    vals[idx] = self._rotate(vals[args[0].index], steps,
+                                             p.level, dev)
             elif op == Op.Relinearize:
                 if idx in self._fused_relins:
                     vals[idx] = vals[args[0].index]  # deferred into Rescale
@@ -484,10 +491,16 @@ class JaxProgram:
 
     def _rotate(self, polys, steps: int, level: int, dev: DeviceLevelOps,
                 hoist=None, src_key=None):
-        """Galois rotation. With a hoist cache, the digit decomposition of
-        the source c1 is computed once and PERMUTED per rotation (classic
-        hoisting): n rotations of one ciphertext cost one decomposition
-        instead of n."""
+        """Galois rotation.
+
+        Sources rotated >=2 times use hoisting: the digit decomposition of
+        c1 is computed once and PERMUTED per rotation. Single rotations
+        permute c1 FIRST and decompose the permuted polynomial: gathers
+        are among the most expensive TPU ops, and permuting the 2 input
+        rows costs ~(n_digits*n_ext)/n_cur times less than permuting the
+        digit stack. The hoist/permute-first decision depends only on the
+        program (rotation counts per source), so the numpy backend makes
+        the identical choice and results stay bit-identical."""
         ctx = self.ctx
         if steps % (ctx.n // 2) == 0:
             return list(polys)
@@ -500,9 +513,11 @@ class JaxProgram:
             if digits is None:
                 digits = self._ks_digits(polys[1], level)
                 hoist[src_key] = digits
+            d0, d1 = self._ks_apply(digits, level, k0, k1, perm=perm)
         else:
-            digits = self._ks_digits(polys[1], level)
-        d0, d1 = self._ks_apply(digits, level, k0, k1, perm=perm)
+            c1 = jnp.take(polys[1], perm, axis=-1)
+            digits = self._ks_digits(c1, level)
+            d0, d1 = self._ks_apply(digits, level, k0, k1)
         return [dev.add(c0, d0), d1]
 
     # -- run -----------------------------------------------------------------

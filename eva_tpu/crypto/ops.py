@@ -200,12 +200,18 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
     g = ctx.galois_elt(steps)
     assert g in keys.galois, f"no galois key for step {steps} (elt {g})"
     primes = ctx.primes_at_level(a.level)
-    perm = ctx.perm_for_elt(g)
     c0 = ctx.apply_automorphism(a.polys[0], g)
-    digits = hoisted_digits
-    if digits is None:
-        digits = _ks_digits(ctx, a.polys[1], a.level, keys.ks_alpha)
-    d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g], perm=perm)
+    if hoisted_digits is not None:
+        perm = ctx.perm_for_elt(g)
+        d0, d1 = _ks_apply(ctx, hoisted_digits, a.level, keys.galois[g],
+                           perm=perm)
+    else:
+        # Permute-first: applying the automorphism to the 1 input row
+        # costs ~n_digits*n_ext/n_cur times less than permuting the digit
+        # stack (gathers dominate on TPU; mirrored in the jax backend).
+        c1 = ctx.apply_automorphism(a.polys[1], g)
+        digits = _ks_digits(ctx, c1, a.level, keys.ks_alpha)
+        d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g])
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
 
 

@@ -33,6 +33,20 @@ class TypeDeducer:
             self.types[term] = term.get_attr(4)  # TypeAttribute
 
 
+def rotation_hoist_sources(order) -> set:
+    """Indices of terms rotated at least twice: only those benefit from
+    hoisting (decompose once, permute digits per rotation); single
+    rotations permute c1 first, which is much cheaper on TPU where the
+    permutation is a gather. Shared by both executor backends so their
+    rotation paths stay bit-identical."""
+    counts: Dict[int, int] = {}
+    for t in order:
+        if t.op in (Op.RotateLeftConst, Op.RotateRightConst):
+            src = t.operands[0].index
+            counts[src] = counts.get(src, 0) + 1
+    return {src for src, n in counts.items() if n >= 2}
+
+
 def _cyclic_shift(values: List[float], shift: int) -> List[float]:
     n = len(values)
     shift %= n

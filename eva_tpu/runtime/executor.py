@@ -27,7 +27,7 @@ from ..crypto.ciphertext import Ciphertext, Plaintext
 from ..crypto.context import CKKSContext
 from ..ir import (CONSTANT_VALUE, ENCODE_AT_LEVEL, ENCODE_AT_SCALE, ROTATION,
                   Op, Program, Term, TermMap, Type)
-from ..passes import TypeDeducer
+from ..passes import TypeDeducer, rotation_hoist_sources
 from ..traversal import ProgramTraversal
 
 
@@ -53,6 +53,7 @@ class Executor:
         self._jax_program = None
         self._encode_cache: Dict[int, object] = {}
         self._input_free: Dict[int, bool] = {}
+        self._hoisted_sources = rotation_hoist_sources(self.order)
         self._make_plan()
 
     # -- planning ------------------------------------------------------------
@@ -373,7 +374,11 @@ class Executor:
                     steps = -steps
                 src = args[0].index
                 ct = values[src]
-                if steps % (ctx.n // 2) != 0 and src not in hoist:
+                # Hoist only sources rotated >=2 times (same decision as
+                # the jax backend, keeping results bit-identical); single
+                # rotations permute-first inside O.rotate.
+                if (steps % (ctx.n // 2) != 0 and src not in hoist
+                        and src in self._hoisted_sources):
                     hoist[src] = O.hoist_digits(ctx, ct, self.keys.ks_alpha)
                 values[term.index] = O.rotate(
                     ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
