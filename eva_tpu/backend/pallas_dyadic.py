@@ -5,7 +5,11 @@ each operand tile is read from HBM once and all three outputs written
 once (~175 MB of traffic per batch-32 call at N=16384x12 instead of the
 ~300 MB the unfused XLA op sequence moves), putting the op near the
 bandwidth roofline. Modular arithmetic is the same 32-bit Montgomery as
-modmath.py (standard-domain operands: mont_mul twice with R^2)."""
+modmath.py with the Karatsuba + one-time-conversion form (5 mont_muls,
+bit-identical to DeviceLevelOps.tensor_product). Still measured slower
+than XLA's fusion of the composed form (44k vs 64k ct-mul/s at
+N=16384x12, v5e); a whole-limb-block variant was slower yet (36k), so
+the (batch x limb) grid stays and the kernel stays opt-in."""
 
 from __future__ import annotations
 
@@ -19,7 +23,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import add_mod, mont_constants, mont_mul
+from .modmath import add_mod, mont_constants, mont_mul, sub_mod
 
 
 def _kernel(a0_ref, a1_ref, b0_ref, b1_ref, qs_ref, c0_ref, c1_ref, c2_ref):
@@ -28,16 +32,20 @@ def _kernel(a0_ref, a1_ref, b0_ref, b1_ref, qs_ref, c0_ref, c1_ref, c2_ref):
     nqinv = qs_ref[limb, 1]
     r2 = qs_ref[limb, 2]
 
-    def mul(x, y):
-        return mont_mul(mont_mul(x, y, q, nqinv), r2, q, nqinv)
-
     a0 = a0_ref[...]
     a1 = a1_ref[...]
     b0 = b0_ref[...]
     b1 = b1_ref[...]
-    c0_ref[...] = mul(a0, b0)
-    c1_ref[...] = add_mod(mul(a0, b1), mul(a1, b0), q)
-    c2_ref[...] = mul(a1, b1)
+    a0m = mont_mul(a0, r2, q, nqinv)
+    a1m = mont_mul(a1, r2, q, nqinv)
+    am_sum = add_mod(a0m, a1m, q)
+    b_sum = add_mod(b0, b1, q)
+    p0 = mont_mul(b0, a0m, q, nqinv)
+    p2 = mont_mul(b1, a1m, q, nqinv)
+    pm = mont_mul(b_sum, am_sum, q, nqinv)
+    c0_ref[...] = p0
+    c1_ref[...] = sub_mod(sub_mod(pm, p0, q), p2, q)
+    c2_ref[...] = p2
 
 
 class PallasDyadic:

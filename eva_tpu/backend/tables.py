@@ -126,20 +126,30 @@ class DeviceLevelOps:
     def tensor_product(self, a0, a1, b0, b1):
         """Ciphertext tensor product (a0,a1)x(b0,b1) -> 3 components.
 
+        Karatsuba over the 2x2 product with a one-time Montgomery
+        conversion of the a-side: 5 mont_muls instead of the naive 8
+        (each standard-domain product costs 2). The op is
+        multiply-limited on TPU (measured 33% of the HBM roofline with
+        the naive form), so the mult count is the lever.
+
         Uses composed XLA ops: measured FASTER than the fused Pallas
-        kernel (79k vs 42k ct-mul/s at N=16384x12 on v5e) because XLA's
-        elementwise fusion pipelines large fused loops better than a
-        (batch x limb) grid of 64KB Pallas blocks. pallas_dyadic.py keeps
-        the fused kernel for future block-size tuning (set
-        EVA_TPU_FUSED_DYADIC=1 to enable)."""
+        kernel because XLA's elementwise fusion pipelines large fused
+        loops better than a (batch x limb) grid of 64KB Pallas blocks.
+        pallas_dyadic.py keeps the fused kernel for future block-size
+        tuning (set EVA_TPU_FUSED_DYADIC=1 to enable)."""
         import os
         if os.environ.get("EVA_TPU_FUSED_DYADIC") and self._pallas() is not None:
             from .pallas_dyadic import get_pallas_dyadic
             pd = get_pallas_dyadic(tuple(self.primes), self.n)
             return list(pd.ct_mul(a0, a1, b0, b1))
-        return [self.mul(a0, b0),
-                self.add(self.mul(a0, b1), self.mul(a1, b0)),
-                self.mul(a1, b1)]
+        a0m = self.mul_mont(a0, self.r2)  # a0*R mod q (Montgomery form)
+        a1m = self.mul_mont(a1, self.r2)
+        am_sum = self.add(a0m, a1m)
+        b_sum = self.add(b0, b1)
+        p0 = self.mul_mont(b0, a0m)       # a0*b0 mod q
+        p2 = self.mul_mont(b1, a1m)       # a1*b1 mod q
+        pm = self.mul_mont(b_sum, am_sum)  # (a0+a1)(b0+b1) mod q
+        return [p0, self.sub(self.sub(pm, p0), p2), p2]
 
     def ntt(self, a):
         """Coefficient -> evaluation (bit-reversed order). Accepts unreduced
