@@ -94,20 +94,123 @@ def _ks_dev_tables(ctx, level: int, alpha: int):
     return n_groups, inv_mont, conv_mont
 
 
+@lru_cache(maxsize=None)
+def _ks_maps(ctx, level: int, alpha: int):
+    """Static digit-layout maps for one (level, alpha).
+
+    owner[t]  = digit index whose group contains data prime t
+    sel[k, t] = the k-th digit != owner[t] (foreign-digit enumeration)"""
+    groups, _, _ = ctx.ks_tables(level, alpha)
+    n_cur = len(ctx.primes_at_level(level))
+    n_groups = len(groups)
+    owner = np.empty(n_cur, dtype=np.int32)
+    for j, g_j in enumerate(groups):
+        for t in g_j:
+            owner[t] = j
+    sel = np.empty((n_groups - 1, n_cur), dtype=np.int32)
+    for t in range(n_cur):
+        sel[:, t] = [k if k < owner[t] else k + 1
+                     for k in range(n_groups - 1)]
+    return n_groups, owner, sel
+
+
+class StructDigits:
+    """Gadget digits in the structured (own/foreign/key) row layout.
+
+    own: [..., n_cur, N]            row t = digit owner[t] at prime t
+    a:   [..., n_groups-1, n_cur, N] foreign data rows (None if 1 digit)
+    b:   [..., n_groups, n_key, N]   key-prime rows
+
+    The inner product with a key in the matching layout needs no
+    digit-stack gathers or concatenations — the row (j, i) terms are
+    simply regrouped; sums are unchanged."""
+
+    def __init__(self, own, a, b, n_groups: int):
+        self.own = own
+        self.a = a
+        self.b = b
+        self.n_groups = n_groups
+
+    def permute(self, perm):
+        """Apply a Galois automorphism (NTT-domain permutation) to every
+        row. Digit decomposition commutes with automorphisms
+        coefficient-wise, so hoisted rotations permute the shared digit
+        NTTs instead of re-decomposing."""
+        return StructDigits(
+            jnp.take(self.own, perm, axis=-1),
+            None if self.a is None else jnp.take(self.a, perm, axis=-1),
+            jnp.take(self.b, perm, axis=-1),
+            self.n_groups)
+
+    def dense(self, owner, sel):
+        """Reassemble the [..., n_groups, n_ext, N] digit stack (tests)."""
+        parts = []
+        for j in range(self.n_groups):
+            rows = []
+            for t in range(owner.shape[0]):
+                if owner[t] == j:
+                    rows.append(self.own[..., t, :])
+                else:
+                    k = j if j < owner[t] else j - 1
+                    rows.append(self.a[..., k, t, :])
+            data = jnp.stack(rows, axis=-2)
+            parts.append(jnp.concatenate(
+                [data, self.b[..., j, :, :]], axis=-2))
+        return parts
+
+
 class DeviceKeys:
-    """Key material converted to device form (Montgomery uint32)."""
+    """Key material lazily converted to device form (Montgomery uint32)
+    in the per-level structured layout matching StructDigits. Only the
+    (key, level) pairs a traced program actually uses are uploaded."""
 
     def __init__(self, ctx: CKKSContext, keys: K.KeySet):
-        basis = ctx.all_primes
-        self.relin = self._convert_ksk(keys.relin, basis)
-        self.galois = {g: self._convert_ksk(k, basis)
-                       for g, k in keys.galois.items()}
+        self.ctx = ctx
+        self.keys = keys
+        self._cache: Dict[Tuple[int, int], tuple] = {}
 
-    @staticmethod
-    def _convert_ksk(ksk: K.KSwitchKey, primes: List[int]):
-        k0 = np.stack([_to_mont_rows(d, primes) for d in ksk.k0])
-        k1 = np.stack([_to_mont_rows(d, primes) for d in ksk.k1])
-        return jnp.asarray(k0), jnp.asarray(k1)  # [n_digits, n_all, N]
+    def layout(self, ksk: K.KSwitchKey, level: int):
+        """((k0_own, k0_a, k0_b), (k1_own, k1_a, k1_b)) for one level."""
+        key = (id(ksk), level)
+        if key not in self._cache:
+            # Layouts are built lazily, possibly while a program is being
+            # traced; escape the trace so the cached arrays are concrete
+            # device buffers, not leaked tracers.
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = self._build_layout(ksk, level)
+        return self._cache[key]
+
+    def _build_layout(self, ksk: K.KSwitchKey, level: int):
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        n_cur = len(primes)
+        n_key = len(ctx.key_primes)
+        n_data_all = len(ctx.data_primes)
+        n_groups, owner, sel = _ks_maps(ctx, level, ksk.alpha)
+
+        def build(klist):
+            own = np.empty((n_cur, ctx.n), dtype=np.uint64)
+            a = np.empty((max(n_groups - 1, 0), n_cur, ctx.n),
+                         dtype=np.uint64)
+            b = np.empty((n_groups, n_key, ctx.n), dtype=np.uint64)
+            for t in range(n_cur):
+                own[t] = klist[owner[t]][t]
+                for k in range(n_groups - 1):
+                    a[k, t] = klist[sel[k, t]][t]
+            for j in range(n_groups):
+                for kk in range(n_key):
+                    b[j, kk] = klist[j][n_data_all + kk]
+            own_m = jnp.asarray(_to_mont_rows(own, primes))
+            a_m = (jnp.asarray(np.stack(
+                [_to_mont_rows(a[k], primes)
+                 for k in range(n_groups - 1)]))
+                if n_groups > 1 else None)
+            b_m = jnp.asarray(np.stack(
+                [_to_mont_rows(b[j], ctx.key_primes)
+                 for j in range(n_groups)]))
+            return own_m, a_m, b_m
+
+        return (build(ksk.k0), build(ksk.k1))
 
 
 _DEVICE_KEYS_CACHE: Dict[int, DeviceKeys] = {}
@@ -174,15 +277,23 @@ class JaxProgram:
         return level_ops(self.ctx.primes_at_level(level) + self.ctx.key_primes,
                          self.ctx.n)
 
-    def _ks_digits(self, poly, level: int):
+    def _ks_digits(self, poly, level: int) -> "StructDigits":
         """Gadget decomposition digits, NTT'd in the extended basis — the
-        dominant key-switch cost (n_cur * n_ext limb NTTs). Separated so
-        hoisted rotations can compute it ONCE per source ciphertext."""
+        dominant key-switch cost. Separated so hoisted rotations can
+        compute it ONCE per source ciphertext. With the NTT-domain input
+        available, each digit's own-group rows are the input planes
+        themselves (D_j == x mod q_t for q_t in group j, and the NTT
+        output depends only on the residue class), so only foreign rows
+        go through the NTT: (n_groups-1)*n_cur + n_groups*n_key rows
+        instead of n_groups*n_ext."""
         dev = self._ops_at(level)
-        return self._ks_digits_from_coeffs(dev.intt(poly), level)
+        return self._ks_digits_from_coeffs(dev.intt(poly), level,
+                                           poly_ntt=poly)
 
-    def _ks_digits_from_coeffs(self, coeffs, level: int):
-        """Digits from COEFFICIENT-domain input (fusion entry point).
+    def _ks_digits_from_coeffs(self, coeffs, level: int,
+                               poly_ntt=None) -> "StructDigits":
+        """Digits from COEFFICIENT-domain input (fusion entry point),
+        returned in the structured own/foreign/key row layout.
 
         alpha=1: the raw residue rows broadcast into every basis row are
         valid unreduced inputs (the NTT twist performs per-prime
@@ -190,41 +301,70 @@ class JaxProgram:
         fast base extension D_j mod q_i = sum_t (d_t*inv_t mod q_t) *
         conv[t][i] — a couple of elementwise Montgomery multiplies — then
         alpha-times FEWER rows go through the NTT, the dominant cost.
-        Bit-identical to crypto/ops._ks_digits_from_coeffs."""
+        Value-identical to crypto/ops._ks_digits_from_coeffs (the numpy
+        backend keeps the dense stack; pre-NTT rows differ only by
+        multiples of the row prime, which the NTT reduction absorbs)."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
-        ext = self._ext_ops_at(level)
         n_cur = len(primes)
-        n_ext = n_cur + len(ctx.key_primes)
+        n_key = len(ctx.key_primes)
+        n_ext = n_cur + n_key
         alpha = self.keys.ks_alpha
+        n_groups, owner, sel = _ks_maps(ctx, level, alpha)
         if alpha == 1:
-            stacked = jnp.broadcast_to(
+            acc = jnp.broadcast_to(
                 coeffs[..., :, None, :],
                 coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
-            d_ntt = ext.ntt(stacked)
-            return [d_ntt[..., j, :, :] for j in range(n_cur)]
-        dev = self._ops_at(level)
-        n_groups, inv_mont, conv_mont = _ks_dev_tables(ctx, level, alpha)
-        y = dev.mul_mont(coeffs, inv_mont)  # [..., n_cur, N], y_t < q_t
-        pad = n_groups * alpha - n_cur
-        if pad:
-            y = jnp.concatenate(
-                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)], axis=-2)
-        yb = jnp.broadcast_to(
-            y[..., :, None, :],
-            y.shape[:-2] + (n_groups * alpha, n_ext, ctx.n))
-        prod = ext.mul_mont(yb, conv_mont)  # reduces mod basis[i]
-        g = prod.reshape(prod.shape[:-3] + (n_groups, alpha, n_ext, ctx.n))
-        acc = g[..., 0, :, :]
-        for k in range(1, alpha):
-            acc = ext.add(acc, g[..., k, :, :])
-        d_ntt = ext.ntt(acc)  # [..., n_groups, n_ext, N]
-        return [d_ntt[..., j, :, :] for j in range(n_groups)]
+        else:
+            dev = self._ops_at(level)
+            ext = self._ext_ops_at(level)
+            _, inv_mont, conv_mont = _ks_dev_tables(ctx, level, alpha)
+            y = dev.mul_mont(coeffs, inv_mont)  # [..., n_cur, N], y_t < q_t
+            pad = n_groups * alpha - n_cur
+            if pad:
+                y = jnp.concatenate(
+                    [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
+                    axis=-2)
+            yb = jnp.broadcast_to(
+                y[..., :, None, :],
+                y.shape[:-2] + (n_groups * alpha, n_ext, ctx.n))
+            prod = ext.mul_mont(yb, conv_mont)  # reduces mod basis[i]
+            g = prod.reshape(
+                prod.shape[:-3] + (n_groups, alpha, n_ext, ctx.n))
+            acc = g[..., 0, :, :]
+            for k in range(1, alpha):
+                acc = ext.add(acc, g[..., k, :, :])
 
-    def _ks_apply(self, digits, level: int, ksk0, ksk1, perm=None,
-                  coeff_out=False):
-        """Inner product of (optionally permuted) digits with a key-switch
-        key, followed by division by the special modulus P.
+        def take_digit_axis(arr, idx):
+            # take_along_axis needs indices.ndim == arr.ndim: expand the
+            # static [n_dig, n_cur] index table over leading batch dims.
+            full_idx = jnp.asarray(idx)[..., None]
+            full_idx = full_idx.reshape(
+                (1,) * (arr.ndim - 3) + full_idx.shape)
+            return jnp.take_along_axis(arr, full_idx, axis=-3)
+
+        dev = self._ops_at(level)
+        if poly_ntt is not None:
+            own = poly_ntt
+        else:
+            own_in = take_digit_axis(acc[..., :, :n_cur, :], owner[None, :])
+            own = dev.ntt(own_in[..., 0, :, :])
+        if n_groups > 1:
+            a_in = take_digit_axis(acc[..., :, :n_cur, :], sel)
+            a_ntt = dev.ntt(a_in)  # [..., n_groups-1, n_cur, N]
+        else:
+            a_ntt = None
+        b_ntt = level_ops(list(ctx.key_primes), ctx.n).ntt(
+            acc[..., :, n_cur:, :])  # [..., n_groups, n_key, N]
+        return StructDigits(own, a_ntt, b_ntt, n_groups)
+
+    def _ks_apply(self, digits: "StructDigits", level: int, layout,
+                  perm=None, coeff_out=False):
+        """Inner product of (optionally permuted) structured digits with a
+        key-switch key in the matching layout, followed by division by
+        the special modulus P. No digit-stack gathers or concatenations:
+        the sum over digits j of d[j,i]*k[j,i] is regrouped into own +
+        foreign + key row products against pre-rearranged key planes.
 
         `perm` applies a Galois automorphism in the NTT domain. Digit
         decomposition commutes with automorphisms coefficient-wise
@@ -233,34 +373,32 @@ class JaxProgram:
         shared digit NTTs instead of re-decomposing."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
-        n_cur = len(primes)
+        dev = self._ops_at(level)
+        key_ops = level_ops(list(ctx.key_primes), ctx.n)
         ext = self._ext_ops_at(level)
-        n_all_data = len(ctx.data_primes)
-        row_idx = np.array(
-            list(range(n_cur)) + [n_all_data + i
-                                  for i in range(len(ctx.key_primes))])
-        # Stack digits on a leading axis, apply one permutation/multiply,
-        # and tree-reduce the modular sums (fewer, larger fused ops).
-        d_stack = jnp.stack(digits, axis=-3)  # [..., n_dig, n_ext, N]
         if perm is not None:
-            d_stack = jnp.take(d_stack, perm, axis=-1)
-        k0 = ksk0[:len(digits), row_idx]  # [n_dig, n_ext, N]
-        k1 = ksk1[:len(digits), row_idx]
-        t0 = ext.mul_mont(d_stack, k0)
-        t1 = ext.mul_mont(d_stack, k1)
+            digits = digits.permute(perm)
 
-        def tree_sum(t):
+        def tree_sum(ops, t):
             while t.shape[-3] > 1:
                 m = t.shape[-3]
                 half = m // 2
                 lo = t[..., :half, :, :]
                 hi = t[..., half:2 * half, :, :]
                 rest = t[..., 2 * half:, :, :]
-                t = jnp.concatenate([ext.add(lo, hi), rest], axis=-3)
+                t = jnp.concatenate([ops.add(lo, hi), rest], axis=-3)
             return t[..., 0, :, :]
 
-        acc0 = tree_sum(t0)
-        acc1 = tree_sum(t1)
+        def ip(k_own, k_a, k_b):
+            acc_data = dev.mul_mont(digits.own, k_own)
+            if digits.a is not None:
+                ta = tree_sum(dev, dev.mul_mont(digits.a, k_a))
+                acc_data = dev.add(acc_data, ta)
+            acc_key = tree_sum(key_ops, key_ops.mul_mont(digits.b, k_b))
+            return jnp.concatenate([acc_data, acc_key], axis=-2)
+
+        acc0 = ip(*layout[0])
+        acc1 = ip(*layout[1])
 
         def div_p(acc):
             coeffs_ext = ext.intt(acc)
@@ -273,8 +411,9 @@ class JaxProgram:
 
         return div_p(acc0), div_p(acc1)
 
-    def _key_switch(self, poly, level: int, ksk0, ksk1):
-        return self._ks_apply(self._ks_digits(poly, level), level, ksk0, ksk1)
+    def _key_switch(self, poly, level: int, ksk):
+        return self._ks_apply(self._ks_digits(poly, level), level,
+                              self.dkeys.layout(ksk, level))
 
     def _divide_last(self, coeffs, primes: List[int]):
         """Divide-and-round coefficient planes by the last prime.
@@ -429,8 +568,7 @@ class JaxProgram:
     def _relin(self, polys, level: int, dev: DeviceLevelOps):
         if len(polys) == 2:
             return list(polys)
-        k0, k1 = self.dkeys.relin
-        d0, d1 = self._key_switch(polys[2], level, k0, k1)
+        d0, d1 = self._key_switch(polys[2], level, self.keys.relin)
         return [dev.add(polys[0], d0), dev.add(polys[1], d1)]
 
     def _relin_rescale(self, polys, level: int):
@@ -447,8 +585,9 @@ class JaxProgram:
         coeffs1 = dev.intt(polys[1])
         if len(polys) == 3:
             digits = self._ks_digits(polys[2], level)
-            k0, k1 = self.dkeys.relin
-            d0, d1 = self._ks_apply(digits, level, k0, k1, coeff_out=True)
+            d0, d1 = self._ks_apply(
+                digits, level, self.dkeys.layout(self.keys.relin, level),
+                coeff_out=True)
             dev_cur = level_ops(primes, ctx.n)
             coeffs0 = dev_cur.add(coeffs0, d0)
             coeffs1 = dev_cur.add(coeffs1, d1)
@@ -484,8 +623,9 @@ class JaxProgram:
         if len(polys) == 2:
             return [dev_new.ntt(c) for c in coeffs]
         digits = self._ks_digits_from_coeffs(coeffs[2], new_level)
-        k0, k1 = self.dkeys.relin
-        d0, d1 = self._ks_apply(digits, new_level, k0, k1, coeff_out=True)
+        d0, d1 = self._ks_apply(
+            digits, new_level, self.dkeys.layout(self.keys.relin, new_level),
+            coeff_out=True)
         return [dev_new.ntt(dev_new.add(coeffs[0], d0)),
                 dev_new.ntt(dev_new.add(coeffs[1], d1))]
 
@@ -507,17 +647,17 @@ class JaxProgram:
         g = ctx.galois_elt(steps)
         perm = ctx.perm_for_elt(g)
         c0 = jnp.take(polys[0], perm, axis=-1)
-        k0, k1 = self.dkeys.galois[g]
+        layout = self.dkeys.layout(self.keys.galois[g], level)
         if hoist is not None and src_key is not None:
             digits = hoist.get(src_key)
             if digits is None:
                 digits = self._ks_digits(polys[1], level)
                 hoist[src_key] = digits
-            d0, d1 = self._ks_apply(digits, level, k0, k1, perm=perm)
+            d0, d1 = self._ks_apply(digits, level, layout, perm=perm)
         else:
             c1 = jnp.take(polys[1], perm, axis=-1)
             digits = self._ks_digits(c1, level)
-            d0, d1 = self._ks_apply(digits, level, k0, k1)
+            d0, d1 = self._ks_apply(digits, level, layout)
         return [dev.add(c0, d0), d1]
 
     # -- run -----------------------------------------------------------------

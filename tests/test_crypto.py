@@ -191,7 +191,8 @@ class TestHybridKeySwitch:
     def test_digits_match_numpy_jax(self, ctx):
         """Decomposition is bit-identical between backends (covered more
         broadly in test_jax_backend; this pins the digit tensors)."""
-        from eva_tpu.backend.executor_jax import JaxProgram, device_keys, _ks_dev_tables
+        from eva_tpu.backend.executor_jax import (JaxProgram, device_keys,
+                                                  _ks_maps)
         import jax.numpy as jnp
         ks = K.generate_keys(ctx, alpha=2)
         rng = np.random.default_rng(7)
@@ -202,7 +203,9 @@ class TestHybridKeySwitch:
         jp = JaxProgram.__new__(JaxProgram)
         jp.ctx, jp.keys = ctx, ks
         jp.dkeys = device_keys(ctx, ks)
-        jax_digits = jp._ks_digits(jnp.asarray(poly[None].astype(np.uint32)), 0)
+        struct = jp._ks_digits(jnp.asarray(poly[None].astype(np.uint32)), 0)
+        _, owner, sel = _ks_maps(ctx, 0, 2)
+        jax_digits = struct.dense(owner, sel)
         assert len(jax_digits) == len(np_digits)
         for a, b in zip(np_digits, jax_digits):
             np.testing.assert_array_equal(
