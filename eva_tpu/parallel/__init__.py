@@ -18,3 +18,4 @@ plus SIMD slot batching inside each ciphertext. The TPU-native mapping
 
 from .sharding import (make_device_mesh, shard_batch, batch_pipeline_step,
                        replicated)
+from .ks_shard import ShardedKeySwitch

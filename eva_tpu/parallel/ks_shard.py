@@ -1,0 +1,225 @@
+"""Digit-parallel key switching: shard the gadget digits over a mesh
+axis and psum the partial inner products (SURVEY.md §2.9's "psum for
+key-switch digit accumulation").
+
+Key switching dominates homomorphic execution (every relinearization and
+rotation), and its cost is proportional to the number of gadget digits:
+each digit needs a fast base extension, n_ext limb NTTs, and a
+multiply-accumulate against its key-switch key slice. Those per-digit
+pipelines are independent until the final accumulation, which is a
+single modular sum over digits — exactly the shape of a psum.
+
+Sharding layout (SPMD via shard_map over one mesh axis, "digit"):
+
+  * input coefficient planes  [n_cur, N]   replicated (small)
+  * base-extension constants  [n_dig, ...] sharded over "digit"
+  * key material k0/k1        [n_dig, n_ext, N] sharded over "digit"
+  * NTT twiddle tables        replicated constants (every shard
+                              transforms in the full extended basis,
+                              so the SPMD program is uniform)
+  * partial accumulators      [n_ext, N] -> psum over "digit" (modular:
+                              psum of 32-bit residue planes cannot be a
+                              raw integer psum; partials are summed as
+                              uint32 pairs folded with add_mod via a
+                              log-step reduce using collective permutes)
+
+The post-accumulation tail (extended-basis iNTT, division by P, final
+NTT) is ~20x less work than the digit pipelines and runs replicated.
+
+The modular psum: jax.lax.psum would overflow/wrap mod 2^32 rather than
+mod q, so the reduction is done as ceil(log2(n_dev)) rounds of
+jax.lax.ppermute + add_mod — a butterfly all-reduce riding ICI.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..backend.modmath import add_mod, to_mont, to_mont_rows
+from ..backend.tables import DeviceLevelOps
+from ..crypto.context import CKKSContext
+from ..crypto.keys import KSwitchKey
+
+
+def _modular_all_reduce(x, q, axis: str, n_dev: int):
+    """Butterfly all-reduce of residue planes with modular addition.
+
+    log2(n_dev) rounds of ppermute + add_mod; every device ends with the
+    full modular sum. n_dev must be a power of two (mesh axes are)."""
+    step = 1
+    while step < n_dev:
+        perm = [(i, i ^ step) for i in range(n_dev)]
+        other = jax.lax.ppermute(x, axis, perm)
+        x = add_mod(x, other, q)
+        step *= 2
+    return x
+
+
+class ShardedKeySwitch:
+    """One (context, level, key, mesh-axis-size) digit-parallel plan.
+
+    Precomputes the padded/sharded base-extension constants and key
+    layouts; `__call__` runs the full key switch on NTT-domain input
+    planes and returns NTT-domain (d0, d1) at the same level, exactly
+    equal to the single-device crypto/ops._key_switch output."""
+
+    def __init__(self, ctx: CKKSContext, ksk: KSwitchKey, level: int,
+                 mesh: Mesh, axis: str = "digit"):
+        self.ctx = ctx
+        self.level = level
+        self.mesh = mesh
+        self.axis = axis
+        n_dev = mesh.shape[axis]
+        self.n_dev = n_dev
+        primes = ctx.primes_at_level(level)
+        basis = primes + ctx.key_primes
+        self.primes = primes
+        self.basis = basis
+        n_cur = len(primes)
+        n_ext = len(basis)
+        alpha = ksk.alpha
+        groups, inv, conv = ctx.ks_tables(level, alpha)
+        n_groups = len(groups)
+        # Pad the digit axis to a multiple of the mesh axis so every
+        # shard runs an identical program; padded digits contribute 0.
+        self.n_pad = -n_groups % n_dev
+        n_dig = n_groups + self.n_pad
+        self.n_groups = n_groups
+        self.n_dig = n_dig
+
+        # Per-digit member rows: digit j uses y rows for its group's
+        # alive sub-primes. Rearranged to [n_dig, alpha, ...] tables.
+        inv_mont = np.zeros((n_cur, 1), dtype=np.uint32)
+        for t, q in enumerate(primes):
+            inv_mont[t, 0] = to_mont(np.array([inv[t]], dtype=np.uint64), q)[0]
+        self.inv_mont = inv_mont  # replicated; y computed on every shard
+
+        # member[j, k] = data-prime index of the k-th member of group j
+        # (or 0 with zero conv rows for padding slots).
+        member = np.zeros((n_dig, alpha), dtype=np.int32)
+        conv_m = np.zeros((n_dig, alpha, n_ext, 1), dtype=np.uint32)
+        for j, g in enumerate(groups):
+            for k, t in enumerate(g):
+                member[j, k] = t
+                for i, q in enumerate(basis):
+                    conv_m[j, k, i, 0] = to_mont(
+                        np.array([conv[t, i]], dtype=np.uint64), q)[0]
+        self.member = member
+        self.conv_m = conv_m
+
+        # Key slices over the full basis rows, padded with zeros.
+        n_data_all = len(ctx.data_primes)
+        row_idx = list(range(n_cur)) + [
+            n_data_all + i for i in range(len(ctx.key_primes))]
+
+        def pack(klist):
+            k = np.zeros((n_dig, n_ext, ctx.n), dtype=np.uint64)
+            for j in range(n_groups):
+                k[j] = klist[j][row_idx]
+            return np.stack([to_mont_rows(k[j], basis)
+                             for j in range(n_dig)])
+
+        self.k0 = pack(ksk.k0)
+        self.k1 = pack(ksk.k1)
+
+        self.dev = DeviceLevelOps(primes, ctx.n)
+        self.ext = DeviceLevelOps(basis, ctx.n)
+        self._jitted = None
+
+    # -- device placement -----------------------------------------------------
+
+    def _place(self):
+        mesh, axis = self.mesh, self.axis
+        shard = NamedSharding(mesh, P(axis))
+        repl = NamedSharding(mesh, P())
+        return {
+            "member": jax.device_put(jnp.asarray(self.member), shard),
+            "conv_m": jax.device_put(jnp.asarray(self.conv_m), shard),
+            "k0": jax.device_put(jnp.asarray(self.k0), shard),
+            "k1": jax.device_put(jnp.asarray(self.k1), shard),
+        }, repl
+
+    def _shard_body(self, poly, member, conv_m, k0, k1):
+        """Per-shard program: local digits' base extension + NTT + MAC,
+        then modular all-reduce over the digit axis."""
+        ctx, dev, ext = self.ctx, self.dev, self.ext
+        n_ext = len(self.basis)
+        coeffs = dev.intt(poly)
+        y = dev.mul_mont(coeffs, self.inv_mont)       # [n_cur, N]
+        # Local digits: gather member rows (tiny static-depth gather on
+        # the limb axis), base-extend, sum members.
+        ym = jnp.take(y, member.reshape(-1), axis=0)  # [loc*alpha, N]
+        ym = ym.reshape(member.shape[0], member.shape[1], 1, ctx.n)
+        prod = ext.mul_mont(
+            jnp.broadcast_to(ym, ym.shape[:2] + (n_ext, ctx.n)), conv_m)
+        acc = prod[:, 0]
+        for k in range(1, prod.shape[1]):
+            acc = ext.add(acc, prod[:, k])
+        d = ext.ntt(acc)                              # [loc, n_ext, N]
+        t0 = ext.mul_mont(d, k0)
+        t1 = ext.mul_mont(d, k1)
+
+        def digit_sum(t):
+            s = t[0]
+            for j in range(1, t.shape[0]):
+                s = ext.add(s, t[j])
+            return s
+
+        q3 = self.ext.q
+        a0 = _modular_all_reduce(digit_sum(t0), q3, self.axis, self.n_dev)
+        a1 = _modular_all_reduce(digit_sum(t1), q3, self.axis, self.n_dev)
+        # Tail (iNTT, P-division, final NTT) replicated inside the shard:
+        # every device holds the full accumulator after the all-reduce,
+        # and running it here keeps Pallas kernels under manual sharding
+        # (they cannot be auto-partitioned by jit).
+        return self._tail(a0), self._tail(a1)
+
+    def _tail(self, acc):
+        """Replicated post-accumulation: iNTT, divide by P, final NTT."""
+        ctx = self.ctx
+        x = self.ext.intt(acc)
+        prim = list(self.basis)
+        for _ in ctx.key_primes:
+            p = prim[-1]
+            rest = prim[:-1]
+            dev = DeviceLevelOps(rest, ctx.n)
+            lift = x[..., -1, :]
+            flag_high = lift > (p // 2)
+            pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
+            for i, q in enumerate(rest):
+                invp = pow(p % q, q - 2, q)
+                pinv_mont[i, 0] = (invp << 32) % q
+            v = x[..., :-1, :] + (np.uint32(p) - lift)[..., None, :]
+            r = dev.mul_mont(v, pinv_mont)
+            corr = jnp.where(flag_high[..., None, :],
+                             jnp.uint32(0), jnp.uint32(1))
+            x = dev.sub(r, corr)
+            prim = rest
+        return DeviceLevelOps(prim, ctx.n).ntt(x)
+
+    def __call__(self, poly) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """poly: [n_cur, N] uint32 NTT-domain planes (host or device).
+        Returns (d0, d1) NTT-domain planes at the same level."""
+        from jax.experimental.shard_map import shard_map
+
+        if self._jitted is None:
+            sharded, repl = self._place()
+            mesh, axis = self.mesh, self.axis
+
+            body = shard_map(
+                self._shard_body, mesh=mesh,
+                in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
+                out_specs=(P(), P()),
+                check_rep=False)
+
+            jitted = jax.jit(body)
+            self._jitted = lambda poly: jitted(
+                poly, sharded["member"], sharded["conv_m"],
+                sharded["k0"], sharded["k1"])
+        return self._jitted(jnp.asarray(poly))

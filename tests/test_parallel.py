@@ -120,3 +120,52 @@ class TestBatchedExecution:
         assert len(outs) == 5
         for out, b in zip(outs, batch_inputs):
             assert valuation_mse(sec.decrypt(out, sig), evaluate(prog, b)) < 0.01
+
+
+class TestShardedKeySwitch:
+    def test_digit_parallel_matches_numpy(self):
+        """Digit-sharded key switch (psum accumulation over an 8-device
+        mesh axis) equals the single-device numpy key switch exactly."""
+        from jax.sharding import Mesh
+        from eva_tpu.crypto.context import CKKSContext
+        from eva_tpu.crypto import keys as K, ops as O
+        from eva_tpu.parallel import ShardedKeySwitch
+
+        n = 256
+        ctx = CKKSContext([40, 40, 40], [1], n)
+        ks = K.generate_keys(ctx, alpha=2)
+        rng = np.random.default_rng(3)
+        for level in (0, 1):
+            primes = ctx.primes_at_level(level)
+            poly = np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                             for q in primes])
+            want0, want1 = O._key_switch(ctx, poly, level, ks.relin)
+
+            mesh = Mesh(np.array(jax.devices()[:8]), ("digit",))
+            sks = ShardedKeySwitch(ctx, ks.relin, level, mesh)
+            got0, got1 = sks(poly.astype(np.uint32))
+            np.testing.assert_array_equal(
+                want0, np.asarray(got0).astype(np.uint64))
+            np.testing.assert_array_equal(
+                want1, np.asarray(got1).astype(np.uint64))
+
+    def test_digit_parallel_single_device(self):
+        """Degenerate 1-device mesh still works (no collectives fire)."""
+        from jax.sharding import Mesh
+        from eva_tpu.crypto.context import CKKSContext
+        from eva_tpu.crypto import keys as K, ops as O
+        from eva_tpu.parallel import ShardedKeySwitch
+
+        n = 256
+        ctx = CKKSContext([40, 40], [1], n)
+        ks = K.generate_keys(ctx, alpha=1)
+        rng = np.random.default_rng(5)
+        primes = ctx.primes_at_level(0)
+        poly = np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                         for q in primes])
+        want0, want1 = O._key_switch(ctx, poly, 0, ks.relin)
+        mesh = Mesh(np.array(jax.devices()[:1]), ("digit",))
+        sks = ShardedKeySwitch(ctx, ks.relin, 0, mesh)
+        got0, got1 = sks(poly.astype(np.uint32))
+        np.testing.assert_array_equal(want0, np.asarray(got0).astype(np.uint64))
+        np.testing.assert_array_equal(want1, np.asarray(got1).astype(np.uint64))
