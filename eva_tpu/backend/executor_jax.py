@@ -142,6 +142,24 @@ class StructDigits:
             jnp.take(self.b, perm, axis=-1),
             self.n_groups)
 
+    def shard_window(self, shift: int, lo: int, hi: int):
+        """Roll the SHARD axis (big-vector ciphertexts; crypto/bigvec) by
+        -shift and keep shards [lo, hi): selects the digit stacks of the
+        source shards feeding one intra-rotation group. own/b carry the
+        shard axis 3/4 dims from the end; a has an extra digit axis."""
+        def f(arr, off):
+            ax = arr.ndim - off
+            if shift:
+                arr = jnp.roll(arr, -shift, axis=ax)
+            idx = [slice(None)] * arr.ndim
+            idx[ax] = slice(lo, hi)
+            return arr[tuple(idx)]
+        return StructDigits(
+            f(self.own, 3),
+            None if self.a is None else f(self.a, 4),
+            f(self.b, 4),
+            self.n_groups)
+
     def dense(self, owner, sel):
         """Reassemble the [..., n_groups, n_ext, N] digit stack (tests)."""
         parts = []
@@ -235,6 +253,9 @@ class JaxProgram:
         self.types = types
         self.order = order
         self.dkeys = device_keys(ctx, keys)
+        # Shards per logical vector (big-vector extension, crypto/bigvec):
+        # ciphertext planes carry a leading shard axis when k > 1.
+        self.k = max(1, program.vec_size // (ctx.n // 2))
         # Nodes consumed by fused pairs, in both adjacency orders.
         self._fused_rescales = {
             t.operands[0].index for t in order
@@ -642,8 +663,11 @@ class JaxProgram:
         program (rotation counts per source), so the numpy backend makes
         the identical choice and results stay bit-identical."""
         ctx = self.ctx
-        if steps % (ctx.n // 2) == 0:
+        if steps % (self.k * (ctx.n // 2)) == 0:
             return list(polys)
+        if self.k > 1:
+            return self._rotate_sharded(polys, steps, level, dev, hoist,
+                                        src_key)
         g = ctx.galois_elt(steps)
         perm = ctx.perm_for_elt(g)
         c0 = jnp.take(polys[0], perm, axis=-1)
@@ -659,6 +683,66 @@ class JaxProgram:
             digits = self._ks_digits(c1, level)
             d0, d1 = self._ks_apply(digits, level, layout)
         return [dev.add(c0, d0), d1]
+
+    def _rotate_sharded(self, polys, steps: int, level: int,
+                        dev: DeviceLevelOps, hoist=None, src_key=None):
+        """Rotation of a sharded big-vector ciphertext (strided layout,
+        crypto/bigvec): roll the shard axis by c (two slices on TPU),
+        then key-switch the first k-c shards with Galois step `lo` and
+        the rest with `hi` — mask-free and exact, at most two keys per
+        logical rotation. Hoisted sources share one digit decomposition
+        of the full shard stack; the rolled digit windows feed both
+        groups."""
+        from ..crypto.bigvec import rotation_plan
+        ctx = self.ctx
+        k = self.k
+        c, lo, hi = rotation_plan(steps, k, ctx.n // 2)
+        ax = polys[0].ndim - 3  # shard axis of [..., k, n_sub, N] planes
+        p0 = jnp.roll(polys[0], -c, axis=ax) if c else polys[0]
+        p1 = jnp.roll(polys[1], -c, axis=ax) if c else polys[1]
+        groups = []
+        if c < k:
+            groups.append((0, k - c, lo))
+        if c:
+            groups.append((k - c, k, hi))
+
+        digits_full = None
+        if hoist is not None and src_key is not None:
+            digits_full = hoist.get(src_key)
+            if digits_full is None:
+                digits_full = self._ks_digits(polys[1], level)
+                hoist[src_key] = digits_full
+
+        def shard_slice(arr, g_lo, g_hi):
+            idx = [slice(None)] * arr.ndim
+            idx[arr.ndim - 3] = slice(g_lo, g_hi)
+            return arr[tuple(idx)]
+
+        out0, out1 = [], []
+        for g_lo, g_hi, amt in groups:
+            s0 = shard_slice(p0, g_lo, g_hi)
+            s1 = shard_slice(p1, g_lo, g_hi)
+            if amt == 0:
+                out0.append(s0)
+                out1.append(s1)
+                continue
+            g = ctx.galois_elt(amt)
+            perm = ctx.perm_for_elt(g)
+            layout = self.dkeys.layout(self.keys.galois[g], level)
+            c0 = jnp.take(s0, perm, axis=-1)
+            if digits_full is not None:
+                dg = digits_full.shard_window(c, g_lo, g_hi)
+                d0, d1 = self._ks_apply(dg, level, layout, perm=perm)
+            else:
+                c1p = jnp.take(s1, perm, axis=-1)
+                d0, d1 = self._ks_apply(self._ks_digits(c1p, level),
+                                        level, layout)
+            out0.append(dev.add(c0, d0))
+            out1.append(d1)
+        if len(out0) == 1:
+            return [out0[0], out1[0]]
+        return [jnp.concatenate(out0, axis=ax),
+                jnp.concatenate(out1, axis=ax)]
 
     # -- run -----------------------------------------------------------------
 

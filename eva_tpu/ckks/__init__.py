@@ -121,10 +121,26 @@ class CKKSCompiler:
                 "the smaller vector size will be transparently emulated.",
                 program.vec_size, slots)
         if slots < program.vec_size:
-            if self.config.warn_vec_size:
-                warn("Program uses vector size %d while only %d slots are "
-                     "required for security.", program.vec_size, slots)
-            enc_params.poly_modulus_degree = 2 * program.vec_size
+            if self.config.shard_vectors:
+                # TPU-native big vectors: keep the ring at its security
+                # minimum and shard the logical vector across
+                # vec_size/slots ciphertexts (crypto/bigvec strided
+                # layout). Only the rotation-key steps change: each
+                # logical step needs at most two intra-ciphertext Galois
+                # steps; scales/levels are untouched (mask-free layout).
+                from ..crypto.bigvec import translate_rotation_steps
+                k = program.vec_size // slots
+                log(INFO,
+                    "EVA: vector size %d exceeds the %d slots of N=%d; "
+                    "sharding across %d ciphertexts per logical vector",
+                    program.vec_size, slots, enc_params.poly_modulus_degree, k)
+                enc_params.rotations = translate_rotation_steps(
+                    enc_params.rotations, program.vec_size, slots)
+            else:
+                if self.config.warn_vec_size:
+                    warn("Program uses vector size %d while only %d slots "
+                         "are required for security.", program.vec_size, slots)
+                enc_params.poly_modulus_degree = 2 * program.vec_size
 
         if verbosity_at_least(INFO):
             n = enc_params.poly_modulus_degree

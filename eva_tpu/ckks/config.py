@@ -11,7 +11,9 @@ OPTIONS_HELP_MESSAGE = (
     "lazy_relinearize   - Relinearize as late as possible. bool (default=true)\n"
     "security_level     - How many bits of security parameters should be selected for. int (default=128)\n"
     "quantum_safe       - Select quantum safe parameters. bool (default=false)\n"
-    "warn_vec_size      - Warn about possibly inefficient vector size selection. bool (default=true)"
+    "warn_vec_size      - Warn about possibly inefficient vector size selection. bool (default=true)\n"
+    "shard_vectors      - Shard vectors larger than the slot count across a ciphertext batch\n"
+    "                     instead of growing the ring (TPU-native extension). bool (default=true)"
 )
 
 RESCALERS = ("lazy_waterline", "eager_waterline", "always", "minimum")
@@ -34,6 +36,7 @@ class CKKSConfig:
         self.security_level = 128
         self.quantum_safe = False
         self.warn_vec_size = True
+        self.shard_vectors = True
         if config:
             for key, value in config.items():
                 if key == "balance_reductions":
@@ -51,6 +54,8 @@ class CKKSConfig:
                     self.quantum_safe = _parse_bool(key, value)
                 elif key == "warn_vec_size":
                     self.warn_vec_size = _parse_bool(key, value)
+                elif key == "shard_vectors":
+                    self.shard_vectors = _parse_bool(key, value)
                 else:
                     print(
                         f"WARNING: Unknown option {key}. Available options are:\n"
@@ -63,4 +68,5 @@ class CKKSConfig:
             f"lazy_relinearize = {str(self.lazy_relinearize).lower()}\n"
             f"security_level = {self.security_level}\n"
             f"quantum_safe = {str(self.quantum_safe).lower()}\n"
-            f"warn_vec_size = {str(self.warn_vec_size).lower()}")
+            f"warn_vec_size = {str(self.warn_vec_size).lower()}\n"
+            f"shard_vectors = {str(self.shard_vectors).lower()}")

@@ -114,15 +114,16 @@ class CKKSContext:
     # -- NTT over stacked limbs ----------------------------------------------
 
     def ntt(self, arr: np.ndarray, primes: Sequence[int]) -> np.ndarray:
+        """arr: [..., n_sub, N]; leading dims (shards/batch) broadcast."""
         out = np.empty_like(arr)
         for i, q in enumerate(primes):
-            out[i] = get_table(q, self.n).ntt(arr[i])
+            out[..., i, :] = get_table(q, self.n).ntt(arr[..., i, :])
         return out
 
     def intt(self, arr: np.ndarray, primes: Sequence[int]) -> np.ndarray:
         out = np.empty_like(arr)
         for i, q in enumerate(primes):
-            out[i] = get_table(q, self.n).intt(arr[i])
+            out[..., i, :] = get_table(q, self.n).intt(arr[..., i, :])
         return out
 
     # -- dyadic modular arithmetic over stacked limbs ------------------------
@@ -145,18 +146,19 @@ class CKKSContext:
         if lib is None or a.shape != b.shape:
             return None
         from ..native import as_u64p
-        a = np.ascontiguousarray(a, dtype=np.uint64)
-        b = np.ascontiguousarray(b, dtype=np.uint64)
+        # Put the prime axis (-2) in front so each prime's rows are one
+        # contiguous block (leading shard/batch dims are preserved).
+        a = np.ascontiguousarray(np.moveaxis(a, -2, 0), dtype=np.uint64)
+        b = np.ascontiguousarray(np.moveaxis(b, -2, 0), dtype=np.uint64)
         out = np.empty_like(a)
         fn = getattr(lib, fn_name)
-        n = a.shape[-1]
         af = a.reshape(len(primes), -1)
         bf = b.reshape(len(primes), -1)
         of = out.reshape(len(primes), -1)
         for i, q in enumerate(primes):
             fn(as_u64p(af[i]), as_u64p(bf[i]), as_u64p(of[i]),
                af.shape[1], q)
-        return out
+        return np.ascontiguousarray(np.moveaxis(out, 0, -2))
 
     def add(self, a, b, primes):
         out = self._native_dyadic("dyadic_add", a, b, primes)
@@ -204,25 +206,27 @@ class CKKSContext:
         return self._perm_cache[g]
 
     def apply_automorphism(self, arr: np.ndarray, g: int) -> np.ndarray:
-        """Permute NTT-domain limb planes [n_sub, N]."""
-        return arr[:, self.perm_for_elt(g)]
+        """Permute NTT-domain limb planes [..., n_sub, N]."""
+        return arr[..., self.perm_for_elt(g)]
 
     # -- RNS rescale (exact divide-and-round by one sub-prime) ---------------
 
     def divide_by_subprime(self, coeffs: np.ndarray, primes: List[int]) -> np.ndarray:
         """Drop the last limb and divide by its prime with rounding.
 
-        coeffs: [n_sub, N] COEFFICIENT domain. Returns [n_sub-1, N].
+        coeffs: [..., n_sub, N] COEFFICIENT domain. Returns [..., n_sub-1, N].
         y_i = (x_i - centered([x]_p)) * p^-1 mod q_i."""
         p = primes[-1]
         rest = primes[:-1]
-        last = coeffs[-1].astype(np.int64)
+        last = coeffs[..., -1, :].astype(np.int64)
         centered = np.where(last > p // 2, last - p, last)  # int64, |.| <= p/2
-        out = np.empty((len(rest), self.n), dtype=np.uint64)
+        out = np.empty(coeffs.shape[:-2] + (len(rest), self.n),
+                       dtype=np.uint64)
         for i, q in enumerate(rest):
             p_inv = pow(p % q, q - 2, q)
-            diff = (coeffs[i].astype(np.int64) - centered) % q
-            out[i] = (diff.astype(np.uint64) * np.uint64(p_inv)) % np.uint64(q)
+            diff = (coeffs[..., i, :].astype(np.int64) - centered) % q
+            out[..., i, :] = (diff.astype(np.uint64)
+                              * np.uint64(p_inv)) % np.uint64(q)
         return out
 
     def rescale_entry(self, coeffs: np.ndarray, level: int) -> np.ndarray:

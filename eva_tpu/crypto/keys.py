@@ -208,19 +208,38 @@ def encrypt(ctx: CKKSContext, keys: KeySet, values: Sequence[float],
 
 def encode(ctx: CKKSContext, values: Sequence[float], scale: float,
            level: int) -> Plaintext:
-    """Replicate values to the slot count and encode at `scale`, `level`."""
+    """Encode at `scale`, `level`. Vectors shorter than the slot count are
+    replicated to fill the slots; vectors LARGER than the slot count are
+    sharded round-robin across k = len/slots polynomials (crypto/bigvec
+    layout: logical slot s -> shard s mod k, position s div k), returned
+    as a [k, n_sub, N] plane stack."""
     slots = ctx.n // 2
     v = np.asarray(values, dtype=np.float64)
+    primes = ctx.primes_at_level(level)
+    if len(v) > slots:
+        assert len(v) % slots == 0, "vector size must be a slot-count multiple"
+        k = len(v) // slots
+        planes = np.empty((k, len(primes), ctx.n), dtype=np.uint64)
+        for j in range(k):
+            coeffs = ctx.encoder.values_to_coeffs(v[j::k], scale)
+            planes[j] = ctx.ntt(
+                ctx.encoder.coeffs_to_residues(coeffs, primes), primes)
+        return Plaintext(planes, level, float(scale))
     if len(v) != slots:
         assert slots % len(v) == 0, "vector size must divide slot count"
         v = np.tile(v, slots // len(v))
-    primes = ctx.primes_at_level(level)
     coeffs = ctx.encoder.values_to_coeffs(v, scale)
     residues = ctx.encoder.coeffs_to_residues(coeffs, primes)
     return Plaintext(ctx.ntt(residues, primes), level, float(scale))
 
 
 def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
+    if pt.poly.ndim == 3:  # sharded big vector: fresh randomness per shard
+        parts = [encrypt_plain(ctx, keys,
+                               Plaintext(pt.poly[j], pt.level, pt.scale))
+                 for j in range(pt.poly.shape[0])]
+        return Ciphertext([np.stack([p.polys[i] for p in parts])
+                           for i in range(2)], pt.level, pt.scale)
     rng = _rng()
     primes = ctx.primes_at_level(pt.level)
     n_sub = len(primes)
@@ -234,9 +253,20 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
     return Ciphertext([c0, c1], pt.level, pt.scale)
 
 
-def expand_seeded_c1(ctx: CKKSContext, seed: bytes, level: int) -> np.ndarray:
-    """Uniform c1 component for seeded ciphertexts at `level`."""
-    return expand_uniform(ctx, ctx.primes_at_level(level), seed)
+def expand_seeded_c1(ctx: CKKSContext, seed: bytes, level: int,
+                     shards: int = 1) -> np.ndarray:
+    """Uniform c1 component for seeded ciphertexts at `level`. For sharded
+    big-vector ciphertexts, one seed expands all k shard planes from a
+    single deterministic stream (part of the wire format)."""
+    primes = ctx.primes_at_level(level)
+    if shards == 1:
+        return expand_uniform(ctx, primes, seed)
+    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
+    out = np.empty((shards, len(primes), ctx.n), dtype=np.uint64)
+    for j in range(shards):
+        for i, q in enumerate(primes):
+            out[j, i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
+    return out
 
 
 def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
@@ -248,8 +278,13 @@ def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
     rng = _rng()
     seed = secrets.token_bytes(32)
     primes = ctx.primes_at_level(level)
-    c1 = expand_seeded_c1(ctx, seed, level)
-    e = _small_poly_residues(ctx, _sample_error(ctx, rng), primes)
+    shards = pt.poly.shape[0] if pt.poly.ndim == 3 else 1
+    c1 = expand_seeded_c1(ctx, seed, level, shards)
+    err = [_sample_error(ctx, rng) for _ in range(shards)]
+    if pt.poly.ndim == 3:
+        e = np.stack([_small_poly_residues(ctx, ei, primes) for ei in err])
+    else:
+        e = _small_poly_residues(ctx, err[0], primes)
     s_rows = keys.secret.rows(ctx, primes)
     # c0 = -c1*s + e + m  so that c0 + c1*s = m + e.
     c0 = ctx.add(ctx.sub(e, ctx.mul(c1, s_rows, primes), primes),
@@ -258,8 +293,16 @@ def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
 
 
 def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:
-    """Decrypt and decode to float slot values (length N/2)."""
+    """Decrypt and decode to float slot values: length N/2, or k*N/2 with
+    shards interleaved back into logical order for big vectors."""
     primes = ctx.primes_at_level(ct.level)
+    if ct.polys[0].ndim == 3:
+        k = ct.polys[0].shape[0]
+        out = np.empty(k * (ctx.n // 2), dtype=np.float64)
+        for j in range(k):
+            shard = Ciphertext([p[j] for p in ct.polys], ct.level, ct.scale)
+            out[j::k] = decrypt(ctx, keys, shard)
+        return out
     s_rows = keys.secret.rows(ctx, primes)
     acc = ct.polys[0].copy()
     s_pow = s_rows

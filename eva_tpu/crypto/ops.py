@@ -114,13 +114,15 @@ def _ks_digits_from_coeffs(ctx: CKKSContext, coeffs: np.ndarray, level: int,
     for group in groups:
         # y_t < q_t; products y_t * conv < 2^62, sums of <=alpha terms
         # stay below 2^64 for alpha <= 4.
-        ys = [(coeffs[t] * inv[t]) % np.uint64(primes[t]) for t in group]
-        d = np.empty((len(basis), ctx.n), dtype=np.uint64)
+        ys = [(coeffs[..., t, :] * inv[t]) % np.uint64(primes[t])
+              for t in group]
+        d = np.empty(coeffs.shape[:-2] + (len(basis), ctx.n),
+                     dtype=np.uint64)
         for i, q in enumerate(basis):
             acc = ys[0] * conv[group[0], i]
             for k in range(1, len(group)):
                 acc = acc + ys[k] * conv[group[k], i]
-            d[i] = acc % np.uint64(q)
+            d[..., i, :] = acc % np.uint64(q)
         digits.append(ctx.ntt(d, basis))
     return digits
 
@@ -142,13 +144,13 @@ def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
     primes = ctx.primes_at_level(level)
     n_cur = len(primes)
     basis = primes + ctx.key_primes
-    acc0 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
-    acc1 = np.zeros((len(basis), ctx.n), dtype=np.uint64)
+    acc0 = np.zeros(digits[0].shape, dtype=np.uint64)
+    acc1 = np.zeros(digits[0].shape, dtype=np.uint64)
     key_rows = [len(ctx.data_primes) + i for i in range(len(ctx.key_primes))]
     row_idx = list(range(n_cur)) + key_rows
     for j, d_ntt in enumerate(digits):
         if perm is not None:
-            d_ntt = d_ntt[:, perm]
+            d_ntt = d_ntt[..., perm]
         k0 = ksk.k0[j][row_idx]
         k1 = ksk.k1[j][row_idx]
         acc0 = ctx.add(acc0, ctx.mul(d_ntt, k0, basis), basis)
@@ -195,6 +197,8 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
     semantically exact and lets n rotations of one ciphertext reuse one
     decomposition (pass `hoisted_digits` from hoist_digits())."""
     assert a.size == 2, "relinearize before rotating"
+    if a.polys[0].ndim == 3:
+        return _rotate_sharded(ctx, keys, a, steps, hoisted_digits)
     if steps % (ctx.n // 2) == 0:
         return a.copy()
     g = ctx.galois_elt(steps)
@@ -213,6 +217,39 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
         digits = _ks_digits(ctx, c1, a.level, keys.ks_alpha)
         d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g])
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
+
+
+def _rotate_sharded(ctx: CKKSContext, keys: KeySet, a: Ciphertext,
+                    steps: int, hoisted_digits=None) -> Ciphertext:
+    """Rotate a sharded big-vector ciphertext (strided layout; see
+    crypto/bigvec): roll the shard axis by c, then intra-rotate the first
+    k-c shards by `lo` and the rest by `hi` — exact, mask-free, at most
+    two Galois keys per logical rotation. Per-shard values are computed
+    with the same single-shard kernels the jax backend vectorizes, so
+    backends stay bit-identical."""
+    from .bigvec import rotation_plan
+
+    k = a.polys[0].shape[0]
+    slots = ctx.n // 2
+    if steps % (k * slots) == 0:
+        return a.copy()
+    c, lo, hi = rotation_plan(steps, k, slots)
+    out0 = np.empty_like(a.polys[0])
+    out1 = np.empty_like(a.polys[1])
+    for j in range(k):
+        src = (j + c) % k
+        amt = hi if j >= k - c else lo
+        if amt == 0:
+            out0[j] = a.polys[0][src]
+            out1[j] = a.polys[1][src]
+            continue
+        shard = Ciphertext([a.polys[0][src], a.polys[1][src]],
+                           a.level, a.scale)
+        hd = (None if hoisted_digits is None
+              else [d[src] for d in hoisted_digits])
+        r = rotate(ctx, keys, shard, amt, hoisted_digits=hd)
+        out0[j], out1[j] = r.polys
+    return Ciphertext([out0, out1], a.level, a.scale)
 
 
 def rescale_relinearize(ctx: CKKSContext, keys: KeySet,
@@ -299,11 +336,12 @@ def mod_switch(ctx: CKKSContext, a: Ciphertext) -> Ciphertext:
     primes = ctx.primes_at_level(a.level)
     entry = ctx.entries_at_level(a.level)[-1]
     keep = len(primes) - len(entry.primes)
-    return Ciphertext([c[:keep].copy() for c in a.polys], a.level + 1, a.scale)
+    return Ciphertext([c[..., :keep, :].copy() for c in a.polys],
+                      a.level + 1, a.scale)
 
 
 def mod_switch_plain(ctx: CKKSContext, p: Plaintext) -> Plaintext:
     primes = ctx.primes_at_level(p.level)
     entry = ctx.entries_at_level(p.level)[-1]
     keep = len(primes) - len(entry.primes)
-    return Plaintext(p.poly[:keep].copy(), p.level + 1, p.scale)
+    return Plaintext(p.poly[..., :keep, :].copy(), p.level + 1, p.scale)

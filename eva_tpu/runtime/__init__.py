@@ -49,9 +49,11 @@ class EVAPublic:
         reference eva/seal/seal.cpp:40-49 — our native NTT kernels release
         the GIL, so a thread pool gets real concurrency)."""
         slots = self.ctx.n // 2
-        if slots < signature.vec_size:
-            raise RuntimeError("Vector size cannot be larger than slot count")
-        if slots % signature.vec_size != 0:
+        if signature.vec_size > slots:
+            if signature.vec_size % slots != 0:
+                raise RuntimeError(
+                    "Vector size must be a multiple of the slot count")
+        elif slots % signature.vec_size != 0:
             raise RuntimeError("Vector size must exactly divide the slot count")
 
         def prepare(item):
@@ -126,7 +128,11 @@ class EVASecret:
         use EVAPublic.encrypt when encrypting with a shared public
         context."""
         slots = self.ctx.n // 2
-        if slots % signature.vec_size != 0 or slots < signature.vec_size:
+        if signature.vec_size > slots:
+            if signature.vec_size % slots != 0:
+                raise RuntimeError(
+                    "Vector size must be a multiple of the slot count")
+        elif slots % signature.vec_size != 0:
             raise RuntimeError("Vector size must exactly divide the slot count")
         out = EVAValuation(self.params)
         for name, values in inputs.items():
@@ -154,9 +160,19 @@ class EVASecret:
                 outputs[name] = [float(v) for v in slots[:signature.vec_size]]
             elif isinstance(value, Plaintext):
                 primes = self.ctx.primes_at_level(value.level)
-                coeffs = self.ctx.encoder.residues_to_coeffs(
-                    self.ctx.intt(value.poly, primes), primes)
-                slots = self.ctx.encoder.coeffs_to_values(coeffs, value.scale)
+                if value.poly.ndim == 3:  # sharded big vector: interleave
+                    k = value.poly.shape[0]
+                    slots = np.empty(k * (self.ctx.n // 2), dtype=np.float64)
+                    for j in range(k):
+                        coeffs = self.ctx.encoder.residues_to_coeffs(
+                            self.ctx.intt(value.poly[j], primes), primes)
+                        slots[j::k] = self.ctx.encoder.coeffs_to_values(
+                            coeffs, value.scale)
+                else:
+                    coeffs = self.ctx.encoder.residues_to_coeffs(
+                        self.ctx.intt(value.poly, primes), primes)
+                    slots = self.ctx.encoder.coeffs_to_values(
+                        coeffs, value.scale)
                 outputs[name] = [float(v) for v in slots[:signature.vec_size]]
             else:  # raw numpy vector
                 vals = np.asarray(value, dtype=np.float64)

@@ -374,10 +374,13 @@ class Executor:
                     steps = -steps
                 src = args[0].index
                 ct = values[src]
+                # Logical rotation period: slots for one ciphertext, the
+                # full vector length for sharded big vectors.
+                period = max(ctx.n // 2, vec_size)
                 # Hoist only sources rotated >=2 times (same decision as
                 # the jax backend, keeping results bit-identical); single
                 # rotations permute-first inside O.rotate.
-                if (steps % (ctx.n // 2) != 0 and src not in hoist
+                if (steps % period != 0 and src not in hoist
                         and src in self._hoisted_sources):
                     hoist[src] = O.hoist_digits(ctx, ct, self.keys.ks_alpha)
                 values[term.index] = O.rotate(

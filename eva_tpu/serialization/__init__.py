@@ -161,13 +161,18 @@ def deserialize_signature(msg) -> CKKSSignature:
 
 
 def _poly_to_msg(arr: np.ndarray, msg) -> None:
-    msg.n_sub, msg.n = arr.shape
+    if arr.ndim == 3:  # sharded big-vector planes [shards, n_sub, n]
+        msg.shards, msg.n_sub, msg.n = arr.shape
+    else:
+        msg.n_sub, msg.n = arr.shape
     msg.data = arr.astype("<u8").tobytes()
 
 
 def _poly_from_msg(msg) -> np.ndarray:
-    return np.frombuffer(msg.data, dtype="<u8").reshape(
-        msg.n_sub, msg.n).copy()
+    flat = np.frombuffer(msg.data, dtype="<u8")
+    if msg.shards > 1:
+        return flat.reshape(msg.shards, msg.n_sub, msg.n).copy()
+    return flat.reshape(msg.n_sub, msg.n).copy()
 
 
 def serialize_valuation(val):
@@ -212,7 +217,8 @@ def deserialize_valuation(msg):
             ctx = get_context(tuple(params.prime_bits),
                               tuple(params.rotations),
                               params.poly_modulus_degree)
-            polys.append(expand_seeded_c1(ctx, seed, c.level))
+            shards = polys[0].shape[0] if polys[0].ndim == 3 else 1
+            polys.append(expand_seeded_c1(ctx, seed, c.level, shards))
         val[name] = Ciphertext(polys, c.level, c.scale, seed=seed)
     for name, p in msg.plains.items():
         val[name] = Plaintext(_poly_from_msg(p.poly), p.level, p.scale)
