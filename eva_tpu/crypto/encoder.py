@@ -74,28 +74,73 @@ class Encoder:
         return out
 
     def residues_to_coeffs(self, residues: np.ndarray, primes: List[int]) -> np.ndarray:
-        """Exact CRT reconstruction to centered floats.
+        """Exact CRT reconstruction to centered floats via Garner's
+        mixed-radix conversion — pure uint64 vector ops (sub-primes are
+        < 2^31, so every product fits a word), no big-int arithmetic.
 
-        Output-level moduli are small (few limbs), so a Python-int CRT per
-        coefficient is affordable; this is the accuracy-critical step."""
+        Accuracy: the mixed-radix digits are exact; centering is decided
+        by an exact lexicographic compare against Q/2's digits, and for
+        high values the digits of Q - x are computed exactly before the
+        float64 Horner fold, so the float result carries the TOP 53 bits
+        of the (small) centered value — never a catastrophic cancellation
+        of two ~Q-sized floats."""
         n_sub = len(primes)
+        qs = [np.uint64(q) for q in primes]
+        # Garner digits: v_i = (...((r_i - v_0) q_0^-1 - v_1) q_1^-1 ...)
+        # mod q_i; x = v_0 + v_1 q_0 + v_2 q_0 q_1 + ...
+        inv = [[None] * n_sub for _ in range(n_sub)]
+        for i in range(1, n_sub):
+            for j in range(i):
+                inv[i][j] = np.uint64(pow(primes[j] % primes[i], -1, primes[i]))
+        v = [residues[0] % qs[0]]
+        for i in range(1, n_sub):
+            q = qs[i]
+            t = residues[i] % q
+            for j in range(i):
+                t = ((t + q - v[j] % q) * inv[i][j]) % q
+            v.append(t)
+        digits = np.stack(v)  # [n_sub, N], digit i < q_i
+
+        # Exact centering (x negative iff x >= floor(Q/2), matching the
+        # previous big-int implementation): lexicographic compare, most-
+        # significant digit first, against the mixed-radix digits of
+        # floor(Q/2) (digit i of h is (h // prod_{j<i} q_j) % q_i).
         Q = 1
         for q in primes:
             Q *= q
-        # Garner/CRT multipliers: Q/q_i * (Q/q_i)^-1 mod q_i
-        mults = []
+        t_half = Q // 2
+        half_digits = []
         for q in primes:
-            Qi = Q // q
-            mults.append(Qi * pow(Qi % q, q - 2, q))
-        half = Q // 2
-        # Vectorized big-int accumulation via object arrays (several times
-        # faster than a per-coefficient Python loop at large N).
-        acc = np.zeros(self.n, dtype=object)
+            half_digits.append(t_half % q)
+            t_half //= q
+        high = np.zeros(self.n, dtype=bool)
+        decided = np.zeros(self.n, dtype=bool)
+        for i in range(n_sub - 1, -1, -1):
+            d = digits[i]
+            hd = np.uint64(half_digits[i])
+            high |= (~decided) & (d > hd)
+            decided |= d != hd
+        high |= ~decided  # x == floor(Q/2) exactly -> high
+
+        # For high coefficients, replace digits with those of Q - x
+        # (positive, small): w_i = (q_i - 1) - v_i, then +1 with carry.
+        w = np.empty_like(digits)
         for i in range(n_sub):
-            acc += residues[i].astype(object) * mults[i]
-        acc %= Q
-        acc = np.where(acc >= half, acc - Q, acc)
-        return acc.astype(np.float64)
+            w[i] = (qs[i] - np.uint64(1)) - digits[i]
+        carry = np.ones(self.n, dtype=np.uint64)
+        for i in range(n_sub):
+            s = w[i] + carry
+            carry = (s == qs[i]).astype(np.uint64)
+            w[i] = np.where(carry.astype(bool), np.uint64(0), s)
+
+        # Horner fold to float64 on the SMALL representation.
+        mag_low = np.zeros(self.n, dtype=np.float64)
+        mag_high = np.zeros(self.n, dtype=np.float64)
+        for i in range(n_sub - 1, -1, -1):
+            qf = float(primes[i])
+            mag_low = mag_low * qf + digits[i].astype(np.float64)
+            mag_high = mag_high * qf + w[i].astype(np.float64)
+        return np.where(high, -mag_high, mag_low)
 
 
 @lru_cache(maxsize=None)

@@ -82,6 +82,28 @@ class TestEncoder:
             ctx.encoder.residues_to_coeffs(res, primes), 2.0 ** 40)
         assert np.max(np.abs(back - v)) < 1e-9
 
+    def test_crt_reconstruction_exact(self, ctx):
+        """The Garner mixed-radix CRT must match big-int CRT bit-exactly
+        for small centered values and to float64 precision for values
+        near +-Q/2 (including the exact centering boundary)."""
+        primes = ctx.primes_at_level(0)
+        Q = 1
+        for q in primes:
+            Q *= q
+        vals = [0, 1, 2, Q - 1, Q - 2, 7, Q - 12345, 12345,
+                Q // 2, Q // 2 - 1, Q // 2 + 1, Q // 3]
+        res = np.zeros((len(primes), ctx.n), dtype=np.uint64)
+        for j, v in enumerate(vals):
+            for i, q in enumerate(primes):
+                res[i, j] = v % q
+        got = ctx.encoder.residues_to_coeffs(res, primes)
+        for j, v in enumerate(vals):
+            want = v - Q if v >= Q // 2 else v
+            if abs(want) < 2 ** 52:
+                assert got[j] == float(want), (j, v)
+            else:
+                assert abs(got[j] - float(want)) <= 1e-14 * abs(float(want))
+
     def test_automorphism_is_slot_rotation(self, ctx):
         rng = np.random.default_rng(4)
         v = rng.uniform(-2, 2, ctx.n // 2)
