@@ -198,6 +198,37 @@ class DeviceKeys:
                 self._cache[key] = self._build_layout(ksk, level)
         return self._cache[key]
 
+    def dense_layout(self, ksk: K.KSwitchKey, level: int):
+        """((k0, k1)) as dense [n_groups, n_ext, N] Montgomery planes in
+        digit order — the layout the fused Pallas key-switch streams."""
+        key = ("dense", id(ksk), level)
+        if key not in self._cache:
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = self._build_dense(ksk, level)
+        return self._cache[key]
+
+    def _build_dense(self, ksk: K.KSwitchKey, level: int):
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        n_cur = len(primes)
+        n_key = len(ctx.key_primes)
+        n_ext = n_cur + n_key
+        n_data_all = len(ctx.data_primes)
+        n_groups, _, _ = _ks_maps(ctx, level, ksk.alpha)
+        basis = primes + list(ctx.key_primes)
+
+        def build(klist):
+            dense = np.empty((n_groups, n_ext, ctx.n), dtype=np.uint64)
+            for j in range(n_groups):
+                for t in range(n_cur):
+                    dense[j, t] = klist[j][t]
+                for kk in range(n_key):
+                    dense[j, n_cur + kk] = klist[j][n_data_all + kk]
+            return jnp.asarray(np.stack(
+                [_to_mont_rows(dense[j], basis) for j in range(n_groups)]))
+
+        return (build(ksk.k0), build(ksk.k1))
+
     def _build_layout(self, ksk: K.KSwitchKey, level: int):
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
@@ -432,7 +463,52 @@ class JaxProgram:
 
         return div_p(acc0), div_p(acc1)
 
+    def _fused_ks_ok(self) -> bool:
+        """Use the fused Pallas key-switch kernels (real TPU only)."""
+        import os
+        if os.environ.get("EVA_TPU_NO_FUSED_KS"):
+            return False
+        return (jax.default_backend() == "tpu"
+                and self.ctx.n >= 1024)
+
+    def _pallas_ks(self, level: int):
+        from .pallas_ks import get_pallas_ks
+        ctx = self.ctx
+        alpha = self.keys.ks_alpha
+        n_groups, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
+        ext_primes = tuple(ctx.primes_at_level(level)) + tuple(ctx.key_primes)
+        return get_pallas_ks(ext_primes, ctx.n, len(ctx.key_primes),
+                             alpha, n_groups, np.asarray(conv_mont)[..., 0])
+
+    def _ks_fused_coeffs(self, coeffs, level: int, ksk, out_ntt: bool):
+        """Fused key switch from coefficient-domain input: FBE + digit
+        NTTs + key MACs in one VMEM-resident kernel, iNTT + P-division
+        (+ output NTT) in a second. Bit-identical to the structured XLA
+        path (exact modular arithmetic; see pallas_ks.py)."""
+        ctx = self.ctx
+        alpha = self.keys.ks_alpha
+        n_groups, inv_mont, _ = _ks_dev_tables(ctx, level, alpha)
+        primes = ctx.primes_at_level(level)
+        n_cur = len(primes)
+        dev = self._ops_at(level)
+        y = dev.mul_mont(coeffs, inv_mont)
+        pad = n_groups * alpha - n_cur
+        if pad:
+            y = jnp.concatenate(
+                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
+                axis=-2)
+        lead = y.shape[:-2]
+        y = y.reshape((-1, n_groups, alpha, ctx.n))
+        k0, k1 = self.dkeys.dense_layout(ksk, level)
+        d0, d1 = self._pallas_ks(level).apply(y, k0, k1, out_ntt)
+        out_shape = lead + (n_cur, ctx.n)
+        return d0.reshape(out_shape), d1.reshape(out_shape)
+
     def _key_switch(self, poly, level: int, ksk):
+        if self._fused_ks_ok():
+            dev = self._ops_at(level)
+            return self._ks_fused_coeffs(dev.intt(poly), level, ksk,
+                                         out_ntt=True)
         return self._ks_apply(self._ks_digits(poly, level), level,
                               self.dkeys.layout(ksk, level))
 
@@ -605,10 +681,15 @@ class JaxProgram:
         coeffs0 = dev.intt(polys[0])
         coeffs1 = dev.intt(polys[1])
         if len(polys) == 3:
-            digits = self._ks_digits(polys[2], level)
-            d0, d1 = self._ks_apply(
-                digits, level, self.dkeys.layout(self.keys.relin, level),
-                coeff_out=True)
+            if self._fused_ks_ok():
+                d0, d1 = self._ks_fused_coeffs(
+                    dev.intt(polys[2]), level, self.keys.relin,
+                    out_ntt=False)
+            else:
+                digits = self._ks_digits(polys[2], level)
+                d0, d1 = self._ks_apply(
+                    digits, level, self.dkeys.layout(self.keys.relin, level),
+                    coeff_out=True)
             dev_cur = level_ops(primes, ctx.n)
             coeffs0 = dev_cur.add(coeffs0, d0)
             coeffs1 = dev_cur.add(coeffs1, d1)
@@ -643,10 +724,15 @@ class JaxProgram:
             coeffs.append(x)
         if len(polys) == 2:
             return [dev_new.ntt(c) for c in coeffs]
-        digits = self._ks_digits_from_coeffs(coeffs[2], new_level)
-        d0, d1 = self._ks_apply(
-            digits, new_level, self.dkeys.layout(self.keys.relin, new_level),
-            coeff_out=True)
+        if self._fused_ks_ok():
+            d0, d1 = self._ks_fused_coeffs(coeffs[2], new_level,
+                                           self.keys.relin, out_ntt=False)
+        else:
+            digits = self._ks_digits_from_coeffs(coeffs[2], new_level)
+            d0, d1 = self._ks_apply(
+                digits, new_level,
+                self.dkeys.layout(self.keys.relin, new_level),
+                coeff_out=True)
         return [dev_new.ntt(dev_new.add(coeffs[0], d0)),
                 dev_new.ntt(dev_new.add(coeffs[1], d1))]
 
@@ -678,6 +764,10 @@ class JaxProgram:
                 digits = self._ks_digits(polys[1], level)
                 hoist[src_key] = digits
             d0, d1 = self._ks_apply(digits, level, layout, perm=perm)
+        elif self._fused_ks_ok():
+            c1 = jnp.take(polys[1], perm, axis=-1)
+            d0, d1 = self._ks_fused_coeffs(dev.intt(c1), level,
+                                           self.keys.galois[g], out_ntt=True)
         else:
             c1 = jnp.take(polys[1], perm, axis=-1)
             digits = self._ks_digits(c1, level)

@@ -1,0 +1,302 @@
+"""Fused Pallas TPU kernels for hybrid key switching — the dominant HE op.
+
+The unfused path (executor_jax._ks_digits/_ks_apply) round-trips HBM
+between digit decomposition, the digit NTTs, the key inner product, and
+the P-division epilogue. These two kernels keep everything VMEM-resident:
+
+  ks_mac:      grid (batch, n_ext, n_groups). Per step: fast-base-extend
+               one digit row from the (tiny) y block, run the four-step
+               negacyclic NTT on it in VMEM, multiply with the two key
+               rows streaming in from HBM, and accumulate into the
+               [n_ext, N] accumulators (output blocks revisited across
+               the inner digit axis, so they never leave VMEM).
+  ks_epilogue: grid (batch, 2). Per step: iNTT the accumulated extended-
+               basis rows, divide-and-round by each key prime, and
+               (optionally) NTT the surviving rows at the output level.
+
+Bit-parity with the XLA/numpy backends holds because every operation is
+exact modular arithmetic: accumulation order does not change values, and
+fast-base-extending the digit's OWN rows (instead of reusing the input
+NTT planes) yields D_j + e*Qg with e*Qg = 0 mod the own primes — the
+same residues the structured path reads directly (executor_jax.py:301).
+
+Reference counterpart: SEAL's switch_key_inplace (SURVEY.md §2.8); the
+fusion itself has no reference equivalent — it is the TPU redesign."""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modmath import add_mod, mont_mul, sub_mod, to_mont
+from .pallas_ntt import PallasNTTTables, _sub_dif, _sub_dit
+
+LANES = 128
+
+
+def _ntt_row(x, tw, corr, st1, st2, q, nqinv, n1, n2):
+    """Forward negacyclic NTT of one [n1, n2] row (four-step, in VMEM)."""
+    x = mont_mul(x, tw, q, nqinv)
+    x = _sub_dif(x, st1, q, nqinv, n1)
+    x = mont_mul(x, corr, q, nqinv)
+    x = x.swapaxes(-1, -2)
+    x = _sub_dif(x, st2, q, nqinv, n2)
+    return x.swapaxes(-1, -2)
+
+
+def _intt_row(x, tw, corr, st1, st2, q, nqinv, n1, n2):
+    """Inverse negacyclic NTT of one [n1, n2] row."""
+    x = x.swapaxes(-1, -2)
+    x = _sub_dit(x, st2, q, nqinv, n2)
+    x = mont_mul(x, corr, q, nqinv)
+    x = x.swapaxes(-1, -2)
+    x = _sub_dit(x, st1, q, nqinv, n1)
+    return mont_mul(x, tw, q, nqinv)
+
+
+def _mac_kernel(alpha, n1, n2):
+    def kernel(y_ref, k0_ref, k1_ref, conv_ref, qs_ref,
+               tw_ref, corr_ref, st1_ref, st2_ref,
+               acc0_ref, acc1_ref):
+        i = pl.program_id(1)
+        j = pl.program_id(2)
+        q = qs_ref[i, 0]
+        nqinv = qs_ref[i, 1]
+
+        # Fast base extension: digit j's residue mod basis prime i.
+        d = mont_mul(y_ref[0, 0, 0], conv_ref[j * alpha, i], q, nqinv)
+        for k in range(1, alpha):
+            d = add_mod(
+                d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i], q,
+                            nqinv), q)
+
+        x = _ntt_row(d, tw_ref[0], corr_ref[0], st1_ref[0],
+                     st2_ref[0], q, nqinv, n1, n2)
+
+        m0 = mont_mul(x, k0_ref[0, 0], q, nqinv)
+        m1 = mont_mul(x, k1_ref[0, 0], q, nqinv)
+
+        @pl.when(j == 0)
+        def _():
+            acc0_ref[0, 0] = m0
+            acc1_ref[0, 0] = m1
+
+        @pl.when(j != 0)
+        def _():
+            acc0_ref[0, 0] = add_mod(acc0_ref[0, 0], m0, q)
+            acc1_ref[0, 0] = add_mod(acc1_ref[0, 0], m1, q)
+
+    return kernel
+
+
+def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
+    n_out = n_ext - n_key
+
+    def kernel(acc_ref, qs_ref, pdiv_ref,
+               twi_ref, cori_ref, st1i_ref, st2i_ref,
+               twf_ref, corf_ref, st1f_ref, st2f_ref, out_ref):
+        rows = []
+        for r in range(n_ext):
+            q = qs_ref[r, 0]
+            nqinv = qs_ref[r, 1]
+            rows.append(_intt_row(acc_ref[0, 0, r], twi_ref[r], cori_ref[r],
+                                  st1i_ref[r], st2i_ref[r], q, nqinv,
+                                  n1, n2))
+
+        # Divide-and-round by each key prime (executor_jax._divide_last).
+        n_rem = n_ext
+        for dstep in range(n_key):
+            p_val = pdiv_ref[dstep, n_ext]      # the dropped prime
+            p_half = pdiv_ref[dstep, n_ext + 1]  # p // 2
+            lift = rows[n_rem - 1]
+            shift = p_val - lift                 # <= p < 2^31
+            corr = jnp.where(lift > p_half, jnp.uint32(0), jnp.uint32(1))
+            for r in range(n_rem - 1):
+                q = qs_ref[r, 0]
+                nqinv = qs_ref[r, 1]
+                v = rows[r] + shift              # < 2^32, no wrap
+                rr = mont_mul(v, pdiv_ref[dstep, r], q, nqinv)
+                rows[r] = sub_mod(rr, corr, q)
+            n_rem -= 1
+
+        for r in range(n_out):
+            if out_ntt:
+                q = qs_ref[r, 0]
+                nqinv = qs_ref[r, 1]
+                out_ref[0, 0, r] = _ntt_row(rows[r], twf_ref[r], corf_ref[r],
+                                         st1f_ref[r], st2f_ref[r], q, nqinv,
+                                         n1, n2)
+            else:
+                out_ref[0, 0, r] = rows[r]
+
+    return kernel
+
+
+class PallasKeySwitch:
+    """Fused key switch for one (ext-basis prime list, n, alpha) triple.
+
+    ext_primes = data primes at the level + key primes. `apply` takes the
+    pre-FBE y rows and a dense [n_groups, n_ext, N] key layout and
+    returns the two switched polynomials after P-division."""
+
+    def __init__(self, ext_primes: List[int], n: int, n_key: int,
+                 alpha: int, n_groups: int, conv_mont: np.ndarray):
+        self.n = n
+        self.n1 = n // LANES
+        self.n2 = LANES
+        self.ext_primes = list(ext_primes)
+        self.n_ext = len(ext_primes)
+        self.n_key = n_key
+        self.n_out = self.n_ext - n_key
+        self.alpha = alpha
+        self.n_groups = n_groups
+        t = PallasNTTTables(self.ext_primes, n)
+        self.t = t
+        self.qs = np.stack([t.q, t.nqinv], axis=1).astype(np.uint32)
+        # conv_mont arrives [n_groups*alpha, n_ext] (pad rows zero);
+        # kept 2D for SMEM (row j*alpha+k, column i).
+        self.conv = conv_mont.reshape(n_groups * alpha, self.n_ext)
+
+        # Division constants: row r of step d is (p_d^-1 mod q_r) in
+        # Montgomery form; columns n_ext / n_ext+1 carry p_d and p_d//2.
+        pdiv = np.zeros((n_key, self.n_ext + 2), dtype=np.uint32)
+        rem = list(ext_primes)
+        for d in range(n_key):
+            p = rem[-1]
+            rem = rem[:-1]
+            for r, q in enumerate(rem):
+                inv = pow(p % q, q - 2, q)
+                pdiv[d, r] = (inv << 32) % q
+            pdiv[d, self.n_ext] = p
+            pdiv[d, self.n_ext + 1] = p // 2
+        self.pdiv = pdiv
+
+    def _interpret(self):
+        return jax.default_backend() != "tpu"
+
+    def mac(self, y, k0, k1):
+        """y: [B, n_groups, alpha, N]; k0/k1: [n_groups, n_ext, N] mont.
+        Returns acc0, acc1: [B, n_ext, N]."""
+        t = self.t
+        n1, n2 = self.n1, self.n2
+        B = y.shape[0]
+        yr = y.reshape(B, self.n_groups, self.alpha, n1, n2)
+        k0r = k0.reshape(self.n_groups, self.n_ext, n1, n2)
+        k1r = k1.reshape(self.n_groups, self.n_ext, n1, n2)
+        grid = (B, self.n_ext, self.n_groups)
+
+        def yidx(b, i, j):
+            return (b, j, 0, 0, 0)
+
+        def kidx(b, i, j):
+            return (j, i, 0, 0)
+
+        def tabidx(b, i, j):
+            return (i, 0, 0)
+
+        def accidx(b, i, j):
+            return (b, i, 0, 0)
+
+        out_shape = jax.ShapeDtypeStruct((B, self.n_ext, n1, n2), jnp.uint32)
+        acc_spec = pl.BlockSpec((1, 1, n1, n2), accidx,
+                                memory_space=pltpu.VMEM)
+        acc0, acc1 = pl.pallas_call(
+            _mac_kernel(self.alpha, n1, n2),
+            grid=grid,
+            interpret=self._interpret(),
+            in_specs=[
+                pl.BlockSpec((1, 1, self.alpha, n1, n2), yidx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec(self.conv.shape, lambda b, i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, n1, n2), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, n2), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n1, 1), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n2, 1), tabidx, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(acc_spec, acc_spec),
+            out_shape=(out_shape, out_shape),
+        )(yr, k0r, k1r, self.conv, self.qs,
+          t.tw_fwd, t.corr_fwd, t.st1_f[..., None], t.st2_f[..., None])
+        return (acc0.reshape(B, self.n_ext, self.n),
+                acc1.reshape(B, self.n_ext, self.n))
+
+    def epilogue(self, acc0, acc1, out_ntt: bool):
+        """acc0/acc1: [B, n_ext, N] -> d0, d1: [B, n_out, N]."""
+        t = self.t
+        n1, n2 = self.n1, self.n2
+        B = acc0.shape[0]
+        acc = jnp.stack([acc0, acc1], axis=1).reshape(
+            B, 2, self.n_ext, n1, n2)
+        grid = (B, 2)
+        out_shape = jax.ShapeDtypeStruct((B, 2, self.n_out, n1, n2),
+                                         jnp.uint32)
+
+        def accidx(b, p):
+            return (b, p, 0, 0, 0)
+
+        def full(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda b, p: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, out_ntt),
+            grid=grid,
+            interpret=self._interpret(),
+            in_specs=[
+                pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                full(t.tw_inv.shape),
+                full(t.corr_inv.shape),
+                full(t.st1_i.shape + (1,)),
+                full(t.st2_i.shape + (1,)),
+                full((self.n_out,) + t.tw_fwd.shape[1:]),
+                full((self.n_out,) + t.corr_fwd.shape[1:]),
+                full((self.n_out, t.st1_f.shape[1], 1)),
+                full((self.n_out, t.st2_f.shape[1], 1)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+        )(acc, self.qs, self.pdiv,
+          t.tw_inv, t.corr_inv, t.st1_i[..., None], t.st2_i[..., None],
+          t.tw_fwd[:self.n_out], t.corr_fwd[:self.n_out],
+          t.st1_f[:self.n_out, :, None], t.st2_f[:self.n_out, :, None])
+        return (out[:, 0].reshape(B, self.n_out, self.n),
+                out[:, 1].reshape(B, self.n_out, self.n))
+
+    def apply(self, y, k0, k1, out_ntt: bool = True):
+        acc0, acc1 = self.mac(y, k0, k1)
+        return self.epilogue(acc0, acc1, out_ntt)
+
+
+@lru_cache(maxsize=None)
+def _get(ext_primes: Tuple[int, ...], n: int, n_key: int, alpha: int,
+         n_groups: int, conv_bytes: bytes, conv_shape: Tuple[int, int]):
+    conv = np.frombuffer(conv_bytes, dtype=np.uint32).reshape(conv_shape)
+    return PallasKeySwitch(list(ext_primes), n, n_key, alpha, n_groups,
+                           conv.copy())
+
+
+def get_pallas_ks(ext_primes: Tuple[int, ...], n: int, n_key: int,
+                  alpha: int, n_groups: int,
+                  conv_mont: np.ndarray) -> PallasKeySwitch:
+    return _get(ext_primes, n, n_key, alpha, n_groups,
+                conv_mont.astype(np.uint32).tobytes(),
+                tuple(conv_mont.shape))

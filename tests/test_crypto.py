@@ -247,3 +247,41 @@ class TestHybridKeySwitch:
         _ksk_to_msg(K.generate_keys(ctx, alpha=1).relin, msg2)
         msg2.ks_alpha = 0
         assert _ksk_from_msg(msg2, ctx).alpha == 1
+
+
+@pytest.mark.slow
+class TestFusedPallasKeySwitch:
+    """The fused Pallas key-switch kernels (backend/pallas_ks.py) must be
+    bit-identical to the structured XLA path for every (alpha, level,
+    out_ntt) combination — including a partial last digit group (this
+    ctx has 5 data sub-primes, so alpha=2 pads one FBE row).
+
+    Marked slow: Pallas interpret mode takes ~2 min per case on CPU.
+    tools/verify_ks_tpu.py runs the same matrix on real TPU in seconds."""
+
+    @pytest.mark.parametrize("alpha", [1, 2])
+    @pytest.mark.parametrize("level", [0, 1])
+    @pytest.mark.parametrize("out_ntt", [True, False])
+    def test_fused_matches_structured(self, ctx, alpha, level, out_ntt):
+        from eva_tpu.backend.executor_jax import (JaxProgram, device_keys,
+                                                  level_ops)
+        import jax.numpy as jnp
+        ks = K.generate_keys(ctx, alpha=alpha)
+        jp = JaxProgram.__new__(JaxProgram)
+        jp.ctx, jp.keys = ctx, ks
+        jp.dkeys = device_keys(ctx, ks)
+        rng = np.random.default_rng(11)
+        primes = ctx.primes_at_level(level)
+        poly = np.stack([rng.integers(0, q, ctx.n, dtype=np.uint64)
+                         for q in primes]).astype(np.uint32)
+        poly_j = jnp.asarray(poly[None])  # leading batch dim
+        dev = level_ops(primes, ctx.n)
+        coeffs = dev.intt(poly_j)
+
+        ref0, ref1 = jp._ks_apply(
+            jp._ks_digits(poly_j, level), level,
+            jp.dkeys.layout(ks.relin, level), coeff_out=not out_ntt)
+        got0, got1 = jp._ks_fused_coeffs(coeffs, level, ks.relin,
+                                         out_ntt=out_ntt)
+        np.testing.assert_array_equal(np.asarray(ref0), np.asarray(got0))
+        np.testing.assert_array_equal(np.asarray(ref1), np.asarray(got1))

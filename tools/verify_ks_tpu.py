@@ -1,0 +1,60 @@
+"""Verify the fused Pallas key-switch kernels on real TPU.
+
+Checks bit-parity of backend/pallas_ks.py against the structured XLA
+path for every (alpha, level, out_ntt) combination at production size
+(N=16384), then at a small ring (N=2048, partial last digit group).
+The interpret-mode CPU tests (tests/test_crypto.py, --runslow) cover
+the same matrix without hardware; this script is the fast on-device
+check. Exits nonzero on any mismatch."""
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from eva_tpu.crypto.context import CKKSContext, get_context
+from eva_tpu.crypto import keys as K
+from eva_tpu.backend.executor_jax import JaxProgram, device_keys, level_ops
+
+
+def check(ctx, alpha, level, out_ntt, seed=11):
+    ks = K.generate_keys(ctx, alpha=alpha)
+    jp = JaxProgram.__new__(JaxProgram)
+    jp.ctx, jp.keys = ctx, ks
+    jp.dkeys = device_keys(ctx, ks)
+    rng = np.random.default_rng(seed)
+    primes = ctx.primes_at_level(level)
+    poly = np.stack([rng.integers(0, q, ctx.n, dtype=np.uint64)
+                     for q in primes]).astype(np.uint32)
+    poly_j = jnp.asarray(poly[None])
+    dev = level_ops(primes, ctx.n)
+    coeffs = dev.intt(poly_j)
+
+    ref0, ref1 = jp._ks_apply(
+        jp._ks_digits(poly_j, level), level,
+        jp.dkeys.layout(ks.relin, level), coeff_out=not out_ntt)
+    got0, got1 = jp._ks_fused_coeffs(coeffs, level, ks.relin,
+                                     out_ntt=out_ntt)
+    ok = (np.array_equal(np.asarray(ref0), np.asarray(got0))
+          and np.array_equal(np.asarray(ref1), np.asarray(got1)))
+    print(f"  n={ctx.n} alpha={alpha} level={level} out_ntt={out_ntt}: "
+          f"{'OK' if ok else 'MISMATCH'}", flush=True)
+    return ok
+
+
+def main():
+    print(f"backend: {jax.default_backend()}", flush=True)
+    ok = True
+    big = get_context(tuple([60] * 6 + [60]), (1,), 16384)
+    small = CKKSContext([60, 30, 60, 60], [1, -2, 4], 2048)
+    for ctx in (big, small):
+        for alpha in (1, 2):
+            for level in (0, 1):
+                for out_ntt in (True, False):
+                    ok &= check(ctx, alpha, level, out_ntt)
+    print("PASS" if ok else "FAIL")
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()
