@@ -4,6 +4,7 @@ machine's devices.
 Usage:
   python tools/reproduce.py quick      # bench + per-kernel profile (~5 min)
   python tools/reproduce.py rotation   # rotation/key-switch cost
+  python tools/reproduce.py ks         # fused-KS parity + fused vs XLA slope
   python tools/reproduce.py e2e        # homomorphic polynomial end to end
   python tools/reproduce.py all
 
@@ -109,6 +110,19 @@ def e2e():
           f"MSE {valuation_mse(out, ref):.2e}")
 
 
+def ks():
+    """Fused Pallas key-switch: bit-parity matrix, then the fused vs
+    structured rotation slope (ARCHITECTURE.md rotation row)."""
+    import os
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.pathsep.join(
+        [os.getcwd()] + env.get("PYTHONPATH", "").split(os.pathsep))
+    subprocess.run([sys.executable, "tools/verify_ks_tpu.py"],
+                   check=True, env=env)
+    subprocess.run([sys.executable, "tools/bench_rotate.py"],
+                   check=True, env=env)
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else "quick"
     if which in ("quick", "all"):
@@ -116,6 +130,8 @@ def main():
         profile()
     if which in ("rotation", "all"):
         rotation()
+    if which in ("ks", "all"):
+        ks()
     if which in ("e2e", "all"):
         e2e()
 
