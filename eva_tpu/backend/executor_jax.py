@@ -178,15 +178,17 @@ class DevPerm:
         return out.reshape(lead + (self.n,))
 
 
-_DEV_PERM_CACHE: Dict[Tuple[int, int, str], DevPerm] = {}
+# Values pin the ctx so its id cannot be reused by a new context while
+# the cached DevPerm is alive (contexts are few and process-cached).
+_DEV_PERM_CACHE: Dict[Tuple[int, int, str], Tuple[CKKSContext, DevPerm]] = {}
 
 
 def dev_perm(ctx: CKKSContext, g: int) -> DevPerm:
     key = (id(ctx), g, jax.default_backend())
     if key not in _DEV_PERM_CACHE:
         with jax.ensure_compile_time_eval():
-            _DEV_PERM_CACHE[key] = DevPerm(ctx.perm_for_elt(g))
-    return _DEV_PERM_CACHE[key]
+            _DEV_PERM_CACHE[key] = (ctx, DevPerm(ctx.perm_for_elt(g)))
+    return _DEV_PERM_CACHE[key][1]
 
 
 class StructDigits:
