@@ -266,14 +266,16 @@ class DeviceKeys:
 
     def layout(self, ksk: K.KSwitchKey, level: int):
         """((k0_own, k0_a, k0_b), (k1_own, k1_a, k1_b)) for one level."""
+        # Cache values pin the ksk so its id cannot be reused by a new
+        # key while the entry is alive (same hazard as _DEV_PERM_CACHE).
         key = (id(ksk), level)
         if key not in self._cache:
             # Layouts are built lazily, possibly while a program is being
             # traced; escape the trace so the cached arrays are concrete
             # device buffers, not leaked tracers.
             with jax.ensure_compile_time_eval():
-                self._cache[key] = self._build_layout(ksk, level)
-        return self._cache[key]
+                self._cache[key] = (ksk, self._build_layout(ksk, level))
+        return self._cache[key][1]
 
     def dense_layout(self, ksk: K.KSwitchKey, level: int):
         """((k0, k1)) as dense [n_groups, n_ext, N] Montgomery planes in
@@ -281,8 +283,8 @@ class DeviceKeys:
         key = ("dense", id(ksk), level)
         if key not in self._cache:
             with jax.ensure_compile_time_eval():
-                self._cache[key] = self._build_dense(ksk, level)
-        return self._cache[key]
+                self._cache[key] = (ksk, self._build_dense(ksk, level))
+        return self._cache[key][1]
 
     def _build_dense(self, ksk: K.KSwitchKey, level: int):
         ctx = self.ctx
@@ -406,7 +408,24 @@ class JaxProgram:
         return level_ops(self.ctx.primes_at_level(level) + self.ctx.key_primes,
                          self.ctx.n)
 
-    def _ks_digits(self, poly, level: int) -> "StructDigits":
+    def _ks_fbe_y(self, coeffs, level: int, alpha: int):
+        """Shared key-switch prologue: y_t = [d_t * (Qg_t/q_t)^-1]_{q_t},
+        zero-padded to n_groups*alpha rows (used by the structured digit
+        decomposition and the fused Pallas entry point alike)."""
+        ctx = self.ctx
+        n_groups, inv_mont, _ = _ks_dev_tables(ctx, level, alpha)
+        n_cur = len(ctx.primes_at_level(level))
+        dev = self._ops_at(level)
+        y = dev.mul_mont(coeffs, inv_mont)
+        pad = n_groups * alpha - n_cur
+        if pad:
+            y = jnp.concatenate(
+                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
+                axis=-2)
+        return y, n_groups
+
+    def _ks_digits(self, poly, level: int,
+                   alpha: int = None) -> "StructDigits":
         """Gadget decomposition digits, NTT'd in the extended basis — the
         dominant key-switch cost. Separated so hoisted rotations can
         compute it ONCE per source ciphertext. With the NTT-domain input
@@ -417,9 +436,9 @@ class JaxProgram:
         instead of n_groups*n_ext."""
         dev = self._ops_at(level)
         return self._ks_digits_from_coeffs(dev.intt(poly), level,
-                                           poly_ntt=poly)
+                                           alpha=alpha, poly_ntt=poly)
 
-    def _ks_digits_from_coeffs(self, coeffs, level: int,
+    def _ks_digits_from_coeffs(self, coeffs, level: int, alpha: int = None,
                                poly_ntt=None) -> "StructDigits":
         """Digits from COEFFICIENT-domain input (fusion entry point),
         returned in the structured own/foreign/key row layout.
@@ -438,22 +457,17 @@ class JaxProgram:
         n_cur = len(primes)
         n_key = len(ctx.key_primes)
         n_ext = n_cur + n_key
-        alpha = self.keys.ks_alpha
+        if alpha is None:
+            alpha = self.keys.ks_alpha
         n_groups, owner, sel = _ks_maps(ctx, level, alpha)
         if alpha == 1:
             acc = jnp.broadcast_to(
                 coeffs[..., :, None, :],
                 coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
         else:
-            dev = self._ops_at(level)
             ext = self._ext_ops_at(level)
-            _, inv_mont, conv_mont = _ks_dev_tables(ctx, level, alpha)
-            y = dev.mul_mont(coeffs, inv_mont)  # [..., n_cur, N], y_t < q_t
-            pad = n_groups * alpha - n_cur
-            if pad:
-                y = jnp.concatenate(
-                    [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
-                    axis=-2)
+            _, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
+            y, _ = self._ks_fbe_y(coeffs, level, alpha)
             yb = jnp.broadcast_to(
                 y[..., :, None, :],
                 y.shape[:-2] + (n_groups * alpha, n_ext, ctx.n))
@@ -540,18 +554,31 @@ class JaxProgram:
 
         return div_p(acc0), div_p(acc1)
 
-    def _fused_ks_ok(self) -> bool:
-        """Use the fused Pallas key-switch kernels (real TPU only)."""
+    # Conservative VMEM budget for one fused-KS grid step: real VMEM is
+    # ~16 MB/core, Mosaic needs headroom for double buffering.
+    _KS_VMEM_BUDGET = 12 << 20
+
+    def _fused_ks_ok(self, level: int = 0) -> bool:
+        """Use the fused Pallas key-switch kernels (real TPU only, and
+        only when one epilogue grid step fits the VMEM budget: the
+        epilogue holds the [n_ext, N] accumulator block plus all inverse
+        and forward NTT table rows resident at once)."""
         import os
         if os.environ.get("EVA_TPU_NO_FUSED_KS"):
             return False
-        return (jax.default_backend() == "tpu"
-                and self.ctx.n >= 1024)
+        if jax.default_backend() != "tpu" or self.ctx.n < 1024:
+            return False
+        n_ext = (len(self.ctx.primes_at_level(level))
+                 + len(self.ctx.key_primes))
+        # acc block + tw_inv + corr_inv (+ rows working set) at n_ext rows,
+        # tw_fwd + corr_fwd at n_out rows; stage tables are negligible.
+        footprint = (4 * n_ext + 2 * (n_ext - len(self.ctx.key_primes))) \
+            * self.ctx.n * 4
+        return footprint <= self._KS_VMEM_BUDGET
 
-    def _pallas_ks(self, level: int):
+    def _pallas_ks(self, level: int, alpha: int):
         from .pallas_ks import get_pallas_ks
         ctx = self.ctx
-        alpha = self.keys.ks_alpha
         n_groups, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
         ext_primes = tuple(ctx.primes_at_level(level)) + tuple(ctx.key_primes)
         return get_pallas_ks(ext_primes, ctx.n, len(ctx.key_primes),
@@ -563,30 +590,22 @@ class JaxProgram:
         (+ output NTT) in a second. Bit-identical to the structured XLA
         path (exact modular arithmetic; see pallas_ks.py)."""
         ctx = self.ctx
-        alpha = self.keys.ks_alpha
-        n_groups, inv_mont, _ = _ks_dev_tables(ctx, level, alpha)
-        primes = ctx.primes_at_level(level)
-        n_cur = len(primes)
-        dev = self._ops_at(level)
-        y = dev.mul_mont(coeffs, inv_mont)
-        pad = n_groups * alpha - n_cur
-        if pad:
-            y = jnp.concatenate(
-                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
-                axis=-2)
+        alpha = ksk.alpha  # per-key digit grouping (matches dense_layout)
+        n_cur = len(ctx.primes_at_level(level))
+        y, n_groups = self._ks_fbe_y(coeffs, level, alpha)
         lead = y.shape[:-2]
         y = y.reshape((-1, n_groups, alpha, ctx.n))
         k0, k1 = self.dkeys.dense_layout(ksk, level)
-        d0, d1 = self._pallas_ks(level).apply(y, k0, k1, out_ntt)
+        d0, d1 = self._pallas_ks(level, alpha).apply(y, k0, k1, out_ntt)
         out_shape = lead + (n_cur, ctx.n)
         return d0.reshape(out_shape), d1.reshape(out_shape)
 
     def _key_switch(self, poly, level: int, ksk):
-        if self._fused_ks_ok():
+        if self._fused_ks_ok(level):
             dev = self._ops_at(level)
             return self._ks_fused_coeffs(dev.intt(poly), level, ksk,
                                          out_ntt=True)
-        return self._ks_apply(self._ks_digits(poly, level), level,
+        return self._ks_apply(self._ks_digits(poly, level, ksk.alpha), level,
                               self.dkeys.layout(ksk, level))
 
     def _divide_last(self, coeffs, primes: List[int]):
@@ -758,12 +777,13 @@ class JaxProgram:
         coeffs0 = dev.intt(polys[0])
         coeffs1 = dev.intt(polys[1])
         if len(polys) == 3:
-            if self._fused_ks_ok():
+            if self._fused_ks_ok(level):
                 d0, d1 = self._ks_fused_coeffs(
                     dev.intt(polys[2]), level, self.keys.relin,
                     out_ntt=False)
             else:
-                digits = self._ks_digits(polys[2], level)
+                digits = self._ks_digits(polys[2], level,
+                                         self.keys.relin.alpha)
                 d0, d1 = self._ks_apply(
                     digits, level, self.dkeys.layout(self.keys.relin, level),
                     coeff_out=True)
@@ -801,11 +821,12 @@ class JaxProgram:
             coeffs.append(x)
         if len(polys) == 2:
             return [dev_new.ntt(c) for c in coeffs]
-        if self._fused_ks_ok():
+        if self._fused_ks_ok(new_level):
             d0, d1 = self._ks_fused_coeffs(coeffs[2], new_level,
                                            self.keys.relin, out_ntt=False)
         else:
-            digits = self._ks_digits_from_coeffs(coeffs[2], new_level)
+            digits = self._ks_digits_from_coeffs(coeffs[2], new_level,
+                                                 self.keys.relin.alpha)
             d0, d1 = self._ks_apply(
                 digits, new_level,
                 self.dkeys.layout(self.keys.relin, new_level),
@@ -841,13 +862,13 @@ class JaxProgram:
                 digits = self._ks_digits(polys[1], level)
                 hoist[src_key] = digits
             d0, d1 = self._ks_apply(digits, level, layout, perm=aperm)
-        elif self._fused_ks_ok():
+        elif self._fused_ks_ok(level):
             c1 = aperm(polys[1])
             d0, d1 = self._ks_fused_coeffs(dev.intt(c1), level,
                                            self.keys.galois[g], out_ntt=True)
         else:
             c1 = aperm(polys[1])
-            digits = self._ks_digits(c1, level)
+            digits = self._ks_digits(c1, level, self.keys.galois[g].alpha)
             d0, d1 = self._ks_apply(digits, level, layout)
         return [dev.add(c0, d0), d1]
 
@@ -902,8 +923,9 @@ class JaxProgram:
                 d0, d1 = self._ks_apply(dg, level, layout, perm=aperm)
             else:
                 c1p = aperm(s1)
-                d0, d1 = self._ks_apply(self._ks_digits(c1p, level),
-                                        level, layout)
+                d0, d1 = self._ks_apply(
+                    self._ks_digits(c1p, level, self.keys.galois[g].alpha),
+                    level, layout)
             out0.append(dev.add(c0, d0))
             out1.append(d1)
         if len(out0) == 1:

@@ -231,3 +231,41 @@ class TestFusedRescaleRelin:
         out_jx = Executor(compiled, pub.ctx, pub._keys, backend="jax").run(enc)
         for a, b in zip(out_np["z"].polys, out_jx["z"].polys):
             assert np.array_equal(a, b)
+
+
+class TestDevPermMXU:
+    """The MXU one-hot int8-matmul automorphism path only activates on
+    real TPU; force its construction here so the byte-split/recombination
+    and row-constancy logic is covered by the CPU suite (DevPerm.__call__
+    is plain jnp and runs anywhere)."""
+
+    def test_mxu_matches_gather(self, monkeypatch):
+        from eva_tpu.backend.executor_jax import DevPerm
+        from eva_tpu.crypto.context import CKKSContext
+
+        n = 1024
+        ctx = CKKSContext([40], [1], n)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        rng = np.random.default_rng(9)
+        # Full-range uint32 values exercise all four byte planes
+        # (including the int8 sign-extension recombination).
+        arr = rng.integers(0, 2 ** 32, (3, n), dtype=np.uint64)
+        arr = jnp.asarray(arr.astype(np.uint32))
+        elts = [ctx.galois_elt(1), ctx.galois_elt(-5), ctx.galois_elt(37),
+                2 * n - 1]  # rotations both ways + conjugation
+        for g in elts:
+            perm = ctx.perm_for_elt(g)
+            dp = DevPerm(perm)
+            assert dp.mxu, f"MXU construction must succeed for g={g}"
+            want = np.asarray(jnp.take(arr, jnp.asarray(perm), axis=-1))
+            got = np.asarray(dp(arr))
+            np.testing.assert_array_equal(got, want)
+
+    def test_small_ring_falls_back(self, monkeypatch):
+        from eva_tpu.backend.executor_jax import DevPerm
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        dp = DevPerm(np.arange(256)[::-1].copy())
+        assert not dp.mxu  # n < 1024: gather fallback
+        arr = jnp.arange(256, dtype=jnp.uint32)[None]
+        np.testing.assert_array_equal(
+            np.asarray(dp(arr))[0], np.arange(256, dtype=np.uint32)[::-1])

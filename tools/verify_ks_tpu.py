@@ -42,12 +42,35 @@ def check(ctx, alpha, level, out_ntt, seed=11):
     return ok
 
 
+def check_dev_perm(ctx, seed=13):
+    """DevPerm (MXU one-hot int8-matmul automorphism) vs the plain
+    jnp.take gather, on device, for rotation elements in both directions
+    and the conjugation element 2N-1."""
+    from eva_tpu.backend.executor_jax import DevPerm
+    rng = np.random.default_rng(seed)
+    arr = jnp.asarray(rng.integers(0, 2 ** 32, (6, ctx.n),
+                                   dtype=np.uint64).astype(np.uint32))
+    ok = True
+    for g in (ctx.galois_elt(1), ctx.galois_elt(-1), ctx.galois_elt(64),
+              ctx.galois_elt(-417), 2 * ctx.n - 1):
+        perm = ctx.perm_for_elt(g)
+        dp = DevPerm(perm)
+        want = np.asarray(jnp.take(arr, jnp.asarray(perm), axis=-1))
+        got = np.asarray(dp(arr))
+        good = dp.mxu and np.array_equal(got, want)
+        print(f"  n={ctx.n} devperm g={g} mxu={dp.mxu}: "
+              f"{'OK' if good else 'MISMATCH'}", flush=True)
+        ok &= good
+    return ok
+
+
 def main():
     print(f"backend: {jax.default_backend()}", flush=True)
     ok = True
     big = get_context(tuple([60] * 6 + [60]), (1,), 16384)
     small = CKKSContext([60, 30, 60, 60], [1, -2, 4], 2048)
     for ctx in (big, small):
+        ok &= check_dev_perm(ctx)
         for alpha in (1, 2):
             for level in (0, 1):
                 for out_ntt in (True, False):
