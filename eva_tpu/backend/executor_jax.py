@@ -95,6 +95,31 @@ def _ks_dev_tables(ctx, level: int, alpha: int):
 
 
 @lru_cache(maxsize=None)
+def _ks_dp_tables(ctx, level: int, alpha: int, n_dev: int):
+    """Digit-parallel decomposition tables for one (level, alpha),
+    padded so the digit axis splits evenly over n_dev mesh devices.
+
+    member[j, k] = data-prime index of the k-th member of digit group j
+                   (0 for padding slots — their conv rows are zero, so
+                   they contribute exact zeros to the psum)
+    conv_m[j, k, i, 0] = (Qg_j/q_member) mod basis[i], Montgomery form"""
+    primes = ctx.primes_at_level(level)
+    basis = primes + ctx.key_primes
+    groups, _, conv = ctx.ks_tables(level, alpha)
+    n_groups = len(groups)
+    n_dig = n_groups + (-n_groups % n_dev)
+    member = np.zeros((n_dig, alpha), dtype=np.int32)
+    conv_m = np.zeros((n_dig, alpha, len(basis), 1), dtype=np.uint32)
+    for j, g in enumerate(groups):
+        for k, t in enumerate(g):
+            member[j, k] = t
+            for i, q in enumerate(basis):
+                conv_m[j, k, i, 0] = to_mont(
+                    np.array([conv[t, i]], dtype=np.uint64), q)[0]
+    return member, conv_m
+
+
+@lru_cache(maxsize=None)
 def _ks_maps(ctx, level: int, alpha: int):
     """Static digit-layout maps for one (level, alpha).
 
@@ -286,6 +311,37 @@ class DeviceKeys:
                 self._cache[key] = (ksk, self._build_dense(ksk, level))
         return self._cache[key][1]
 
+    def dp_layout(self, ksk: K.KSwitchKey, level: int, n_dev: int):
+        """(k0, k1) as [n_dig, n_ext, N] Montgomery planes with the digit
+        axis zero-padded to a multiple of n_dev — the layout the
+        digit-parallel (mesh-sharded) key switch shards over the "limb"
+        mesh axis. Padding digits are zero key rows: they contribute
+        exact zeros to the modular psum."""
+        key = ("dp", id(ksk), level, n_dev)
+        if key not in self._cache:
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = (ksk, self._build_dp(ksk, level, n_dev))
+        return self._cache[key][1]
+
+    def _build_dp(self, ksk: K.KSwitchKey, level: int, n_dev: int):
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        basis = primes + list(ctx.key_primes)
+        n_groups, _, _ = _ks_maps(ctx, level, ksk.alpha)
+        n_dig = n_groups + (-n_groups % n_dev)
+        n_data_all = len(ctx.data_primes)
+        row_idx = list(range(len(primes))) + [
+            n_data_all + i for i in range(len(ctx.key_primes))]
+
+        def pack(klist):
+            k = np.zeros((n_dig, len(basis), ctx.n), dtype=np.uint64)
+            for j in range(n_groups):
+                k[j] = klist[j][row_idx]
+            return jnp.asarray(np.stack(
+                [_to_mont_rows(k[j], basis) for j in range(n_dig)]))
+
+        return (pack(ksk.k0), pack(ksk.k1))
+
     def _build_dense(self, ksk: K.KSwitchKey, level: int):
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
@@ -354,6 +410,10 @@ def device_keys(ctx: CKKSContext, keys: K.KeySet) -> DeviceKeys:
 class JaxProgram:
     """Traces a compiled EVA program into a single jitted function."""
 
+    # Digit-parallel context; class default so tool shims built via
+    # __new__ (bench/verify scripts) take the single-device path.
+    _dp = None
+
     def __init__(self, program: Program, ctx: CKKSContext, keys: K.KeySet,
                  plan, types, order: List[Term]):
         self.program = program
@@ -378,25 +438,183 @@ class JaxProgram:
             and t.operands[0].op == Op.Relinearize
             and len(t.operands[0].uses) == 1}
         self._hoisted_sources = rotation_hoist_sources(order)
+        self._dp = None  # digit-parallel context (set during dp traces)
         self._jitted = jax.jit(self._traced)
         self._sharded_cache: Dict[int, object] = {}
+
+    # -- digit-parallel (mesh) execution --------------------------------------
+
+    def _ks_sites(self):
+        """(name, level, alpha) for every key switch the traced program
+        performs; mirrors the _traced dispatch exactly so the sharded key
+        material can be passed as shard_map arguments."""
+        ctx = self.ctx
+        sites = set()
+        for term in self.order:
+            op = term.op
+            if self.types[term] == Type.Raw:
+                continue
+            idx = term.index
+            args = term.operands
+            if op in (Op.RotateLeftConst, Op.RotateRightConst):
+                steps = term.get_attr(ROTATION)
+                if op == Op.RotateRightConst:
+                    steps = -steps
+                if steps % (self.k * (ctx.n // 2)) == 0:
+                    continue
+                g = ctx.galois_elt(steps)
+                sites.add((f"galois_{g}", self.plan[idx].level,
+                           self.keys.galois[g].alpha))
+            elif op == Op.Relinearize:
+                if idx in self._fused_relins:
+                    continue  # key switch happens at the Rescale site
+                if args[0].index in self._fused_rescales:
+                    # _rescale_relin: KS at the post-rescale level
+                    lvl = self.plan[args[0].operands[0].index].level + 1
+                else:
+                    lvl = self.plan[idx].level
+                sites.add(("relin", lvl, self.keys.relin.alpha))
+            elif op == Op.Rescale and args[0].index in self._fused_relins:
+                # _relin_rescale: KS at the pre-rescale level
+                lvl = self.plan[args[0].operands[0].index].level
+                sites.add(("relin", lvl, self.keys.relin.alpha))
+        return sorted(sites)
+
+    def _ks_dp_digits(self, coeffs, level: int, alpha: int):
+        """This device's local gadget digits (FBE + extended-basis NTT)
+        for the digit shard it owns. coeffs: [..., n_cur, N] coefficient
+        domain, replicated across the digit axis. Returns
+        [..., loc, n_ext, N] NTT-domain digit planes."""
+        ctx = self.ctx
+        dev = self._ops_at(level)
+        ext = self._ext_ops_at(level)
+        n_ext = len(ctx.primes_at_level(level)) + len(ctx.key_primes)
+        member, conv = self._dp["tables"][(level, alpha)]
+        _, inv_mont, _ = _ks_dev_tables(ctx, level, alpha)
+        y = dev.mul_mont(coeffs, inv_mont)          # [..., n_cur, N]
+        loc = member.shape[0]
+        ym = jnp.take(y, member.reshape(-1), axis=-2)
+        ym = ym.reshape(y.shape[:-2] + (loc, alpha, 1, ctx.n))
+        prod = ext.mul_mont(jnp.broadcast_to(
+            ym, y.shape[:-2] + (loc, alpha, n_ext, ctx.n)), conv)
+        acc = prod[..., 0, :, :]
+        for k in range(1, alpha):
+            acc = ext.add(acc, prod[..., k, :, :])
+        return ext.ntt(acc)
+
+    def _ks_dp(self, coeffs, level: int, site: str, alpha: int,
+               perm=None, out_ntt: bool = True, digits=None):
+        """Digit-parallel key switch (SURVEY §2.9 "psum for key-switch
+        digit accumulation"): each device runs the FBE + NTT + key-MAC
+        pipeline for ITS digit shard, partial inner products are combined
+        by a modular butterfly all-reduce over the mesh axis (ppermute +
+        add_mod — a raw integer psum would wrap mod 2^32, not mod q), and
+        the ~20x-cheaper P-division tail runs replicated. Bit-identical
+        to the single-device path: modular sums are exact and
+        order-independent."""
+        from ..parallel.ks_shard import _modular_all_reduce
+        ctx = self.ctx
+        dp = self._dp
+        ext = self._ext_ops_at(level)
+        if digits is None:
+            digits = self._ks_dp_digits(coeffs, level, alpha)
+        if perm is not None:
+            digits = perm(digits)
+        k0, k1 = dp["keys"][f"{site}@L{level}"]     # local [loc, n_ext, N]
+        t0 = ext.mul_mont(digits, k0)
+        t1 = ext.mul_mont(digits, k1)
+
+        def dig_sum(t):
+            s = t[..., 0, :, :]
+            for j in range(1, t.shape[-3]):
+                s = ext.add(s, t[..., j, :, :])
+            return s
+
+        acc0, acc1 = dig_sum(t0), dig_sum(t1)
+        if dp["axis"] is not None:
+            acc0 = _modular_all_reduce(acc0, ext.q, dp["axis"], dp["n_dev"])
+            acc1 = _modular_all_reduce(acc1, ext.q, dp["axis"], dp["n_dev"])
+
+        def tail(acc):
+            x = ext.intt(acc)
+            prim = ctx.primes_at_level(level) + list(ctx.key_primes)
+            for _ in ctx.key_primes:
+                x = self._divide_last(x, prim)
+                prim = prim[:-1]
+            return level_ops(prim, ctx.n).ntt(x) if out_ntt else x
+
+        return tail(acc0), tail(acc1)
+
+    def _body_dp(self, cipher_in, plain_in, dp_tabs, dp_keys,
+                 axis, n_dev: int):
+        """Trace the program with the digit-parallel key-switch context
+        installed; dp_tabs/dp_keys are the (possibly shard-local) tables
+        and key planes. axis=None traces the layout without collectives
+        (used for shape evaluation only)."""
+        self._dp = {"axis": axis, "n_dev": n_dev,
+                    "tables": dp_tabs, "keys": dp_keys}
+        try:
+            return self._traced(cipher_in, plain_in)
+        finally:
+            self._dp = None
 
     def _sharded_jit(self, mesh, cipher_in, plain_in):
         """jit(shard_map(traced)) for a mesh, cached per mesh (Pallas
         kernels cannot be auto-partitioned; shard_map runs the program
-        per-shard on each device's local batch slice)."""
+        per-shard on each device's local batch slice).
+
+        With a "limb" mesh axis of size > 1 the gadget digits of every
+        key switch — the dominant execution cost — are sharded over that
+        axis and accumulated with a modular butterfly all-reduce, the
+        integrated form of parallel/ks_shard.ShardedKeySwitch. Dyadic
+        ops run replicated across the axis (they are ~50x cheaper than
+        key switching; sharding them would force per-op collectives)."""
         key = id(mesh)
         if key not in self._sharded_cache:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
             specs = jax.tree.map(lambda _: P("batch"), (cipher_in, plain_in))
-            out_specs = jax.tree.map(
-                lambda _: P("batch"),
-                jax.eval_shape(self._traced, cipher_in, plain_in))
-            self._sharded_cache[key] = jax.jit(shard_map(
-                lambda c, p: self._traced(c, p),
-                mesh=mesh, in_specs=specs, out_specs=out_specs,
-                check_rep=False))
+            n_dp = mesh.shape.get("limb", 1)
+            use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
+                      and self._ks_sites())
+            if not use_dp:
+                out_specs = jax.tree.map(
+                    lambda _: P("batch"),
+                    jax.eval_shape(self._traced, cipher_in, plain_in))
+                self._sharded_cache[key] = jax.jit(shard_map(
+                    lambda c, p: self._traced(c, p),
+                    mesh=mesh, in_specs=specs, out_specs=out_specs,
+                    check_rep=False))
+            else:
+                dp_tabs = {}
+                dp_keys = {}
+                for name, level, alpha in self._ks_sites():
+                    if (level, alpha) not in dp_tabs:
+                        member, conv = _ks_dp_tables(
+                            self.ctx, level, alpha, n_dp)
+                        with jax.ensure_compile_time_eval():
+                            dp_tabs[(level, alpha)] = (
+                                jnp.asarray(member), jnp.asarray(conv))
+                    ksk = (self.keys.relin if name == "relin"
+                           else self.keys.galois[int(name.split("_")[1])])
+                    dp_keys[f"{name}@L{level}"] = self.dkeys.dp_layout(
+                        ksk, level, n_dp)
+                out_specs = jax.tree.map(
+                    lambda _: P("batch"),
+                    jax.eval_shape(
+                        lambda c, p: self._body_dp(
+                            c, p, dp_tabs, dp_keys, None, n_dp),
+                        cipher_in, plain_in))
+                dp_specs = jax.tree.map(lambda _: P("limb"),
+                                        (dp_tabs, dp_keys))
+                body = shard_map(
+                    lambda c, p, t, k: self._body_dp(
+                        c, p, t, k, "limb", n_dp),
+                    mesh=mesh, in_specs=(specs[0], specs[1]) + dp_specs,
+                    out_specs=out_specs, check_rep=False)
+                jitted = jax.jit(body)
+                self._sharded_cache[key] = (
+                    lambda c, p: jitted(c, p, dp_tabs, dp_keys))
         return self._sharded_cache[key]
 
     # -- device op helpers ---------------------------------------------------
@@ -600,7 +818,10 @@ class JaxProgram:
         out_shape = lead + (n_cur, ctx.n)
         return d0.reshape(out_shape), d1.reshape(out_shape)
 
-    def _key_switch(self, poly, level: int, ksk):
+    def _key_switch(self, poly, level: int, ksk, site: str = "relin"):
+        if self._dp is not None:
+            dev = self._ops_at(level)
+            return self._ks_dp(dev.intt(poly), level, site, ksk.alpha)
         if self._fused_ks_ok(level):
             dev = self._ops_at(level)
             return self._ks_fused_coeffs(dev.intt(poly), level, ksk,
@@ -777,7 +998,10 @@ class JaxProgram:
         coeffs0 = dev.intt(polys[0])
         coeffs1 = dev.intt(polys[1])
         if len(polys) == 3:
-            if self._fused_ks_ok(level):
+            if self._dp is not None:
+                d0, d1 = self._ks_dp(dev.intt(polys[2]), level, "relin",
+                                     self.keys.relin.alpha, out_ntt=False)
+            elif self._fused_ks_ok(level):
                 d0, d1 = self._ks_fused_coeffs(
                     dev.intt(polys[2]), level, self.keys.relin,
                     out_ntt=False)
@@ -821,7 +1045,10 @@ class JaxProgram:
             coeffs.append(x)
         if len(polys) == 2:
             return [dev_new.ntt(c) for c in coeffs]
-        if self._fused_ks_ok(new_level):
+        if self._dp is not None:
+            d0, d1 = self._ks_dp(coeffs[2], new_level, "relin",
+                                 self.keys.relin.alpha, out_ntt=False)
+        elif self._fused_ks_ok(new_level):
             d0, d1 = self._ks_fused_coeffs(coeffs[2], new_level,
                                            self.keys.relin, out_ntt=False)
         else:
@@ -855,6 +1082,21 @@ class JaxProgram:
         g = ctx.galois_elt(steps)
         aperm = dev_perm(ctx, g)
         c0 = aperm(polys[0])
+        if self._dp is not None:
+            site = f"galois_{g}"
+            alpha = self.keys.galois[g].alpha
+            if hoist is not None and src_key is not None:
+                digits = hoist.get(src_key)
+                if digits is None:
+                    digits = self._ks_dp_digits(dev.intt(polys[1]), level,
+                                                alpha)
+                    hoist[src_key] = digits
+                d0, d1 = self._ks_dp(None, level, site, alpha, perm=aperm,
+                                     digits=digits)
+            else:
+                c1 = aperm(polys[1])
+                d0, d1 = self._ks_dp(dev.intt(c1), level, site, alpha)
+            return [dev.add(c0, d0), d1]
         layout = self.dkeys.layout(self.keys.galois[g], level)
         if hoist is not None and src_key is not None:
             digits = hoist.get(src_key)
