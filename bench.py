@@ -105,8 +105,13 @@ def bench_ct_mul_host(ctx) -> float:
 
 
 def bench_rotation_device(ctx, keys, on_tpu: bool) -> float:
-    """Full Galois rotation (automorphism + key switch) per-op seconds,
-    scan-chained slope (tools/bench_rotate.py methodology)."""
+    """Full Galois rotation (automorphism + key switch) per-op seconds.
+
+    Batched (8 rotations per dispatch) and chained at the Python level —
+    the same methodology as the ct-mul bench. lax.scan chains measure
+    ~70 us of per-iteration overhead on the tunnel device (verified with
+    an identity scan body), so per-op cost comes from the slope of
+    chained batched dispatches instead."""
     import jax
     import jax.numpy as jnp
     from eva_tpu.backend.executor_jax import (JaxProgram, device_keys,
@@ -118,31 +123,31 @@ def bench_rotation_device(ctx, keys, on_tpu: bool) -> float:
     shim.ctx, shim.keys, shim.k = ctx, keys, 1
     shim.dkeys = device_keys(ctx, keys)
     dev = level_ops(primes, N)
-    poly = jnp.asarray(_planes(primes, N, 0, 7))
+    batch = 8 if on_tpu else 2
+    poly = jnp.asarray(_planes(primes, N, batch, 7))
 
-    def chain_fn(reps):
-        def body(cur, _):
-            out = shim._rotate([cur[0], cur[1]], 1, level, dev, None, None)
-            return (out[0], dev.add(out[0], out[1])), None
+    @jax.jit
+    def rot(p):
+        out = shim._rotate([p, p], 1, level, dev, None, None)
+        return dev.add(out[0], out[1])
 
-        def f(p):
-            (c0, _), _ = jax.lax.scan(body, (p, p), None, length=reps)
-            return c0
+    red = jax.jit(lambda c: jnp.sum(c >> 31))
+    _ = int(red(rot(poly)))  # compile
 
-        return jax.jit(f)
-
-    def run(fn):
-        _ = float(jnp.sum(fn(poly) >> 31))  # compile
+    def chain_time(reps):
         best = 1e9
         for _ in range(3 if on_tpu else 1):
+            cur = poly
             t0 = time.perf_counter()
-            _ = float(jnp.sum(fn(poly) >> 31))
+            for _ in range(reps):
+                cur = rot(cur)
+            _ = int(red(cur))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    r1, r2 = (16, 64) if on_tpu else (1, 3)
-    ta, tb = run(chain_fn(r1)), run(chain_fn(r2))
-    return (tb - ta) / (r2 - r1)
+    r1, r2 = (5, 45) if on_tpu else (1, 3)
+    per_exec = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+    return per_exec / batch
 
 
 def bench_rotation_host(ctx, keys) -> float:

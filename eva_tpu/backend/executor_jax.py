@@ -788,9 +788,10 @@ class JaxProgram:
             return False
         n_ext = (len(self.ctx.primes_at_level(level))
                  + len(self.ctx.key_primes))
-        # acc block + tw_inv + corr_inv (+ rows working set) at n_ext rows,
-        # tw_fwd + corr_fwd at n_out rows; stage tables are negligible.
-        footprint = (4 * n_ext + 2 * (n_ext - len(self.ctx.key_primes))) \
+        # acc block + rows working set + tw_inv/corr_inv Shoup pairs
+        # (2 planes each) at n_ext rows, tw_fwd/corr_fwd pairs at n_out
+        # rows; stage tables are negligible.
+        footprint = (6 * n_ext + 4 * (n_ext - len(self.ctx.key_primes))) \
             * self.ctx.n * 4
         return footprint <= self._KS_VMEM_BUDGET
 

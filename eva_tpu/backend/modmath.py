@@ -66,6 +66,42 @@ def mont_mul(a, b_mont, q, nqinv):
     return jnp.where(u >= q, u - q, u)
 
 
+def shoup_pair(w, q: int):
+    """Host precompute: (w mod q, floor(w * 2^32 / q)) for shoup_mul."""
+    w = np.asarray(w, dtype=np.uint64) % np.uint64(q)
+    wp = (w << np.uint64(32)) // np.uint64(q)
+    return w.astype(np.uint32), wp.astype(np.uint32)
+
+
+def shoup_stack(w, q: int) -> np.ndarray:
+    """[2, ...] stacked (w, w') Shoup pair table for the constant(s) w."""
+    return np.stack(shoup_pair(w, q))
+
+
+def shoup_mul(a, w, wp, q):
+    """a * w mod q for a KNOWN constant w < q, wp = floor(w*2^32/q).
+    Valid for any a < 2^32 (the reduction absorbs unreduced inputs).
+
+    Shoup/Harvey precomputed-quotient multiply: qhat = hi32(a*wp)
+    underestimates floor(a*w/q) by less than 1 + a/2^32 < 2, so
+    r = a*w - qhat*q lies in [0, 2q) and — since 2q < 2^32 — is exact
+    in wrapping 32-bit arithmetic; one conditional subtract finishes.
+    ~40% fewer VPU ops than mont_mul: one hi-32 product plus two native
+    low-32 multiplies replace two full 32x32 split products and their
+    carry chains. Used for every multiply-by-table in the NTT kernels;
+    data x data multiplies (dyadic ops, key MACs) stay Montgomery."""
+    al = a & MASK16
+    ah = a >> 16
+    wl = wp & MASK16
+    wh = wp >> 16
+    lh = al * wh
+    hl = ah * wl
+    mid = ((al * wl) >> 16) + (lh & MASK16) + (hl & MASK16)
+    qhat = ah * wh + (lh >> 16) + (hl >> 16) + (mid >> 16)
+    r = a * w - qhat * q
+    return jnp.where(r >= q, r - q, r)
+
+
 def add_mod(a, b, q):
     s = a + b
     return jnp.where(s >= q, s - q, s)

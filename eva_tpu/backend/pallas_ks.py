@@ -35,30 +35,31 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .modmath import add_mod, mont_mul, sub_mod, to_mont
+from .modmath import add_mod, mont_mul, shoup_mul, sub_mod, to_mont
 from .pallas_ntt import PallasNTTTables, _sub_dif, _sub_dit
 
 LANES = 128
 
 
-def _ntt_row(x, tw, corr, st1, st2, q, nqinv, n1, n2):
-    """Forward negacyclic NTT of one [n1, n2] row (four-step, in VMEM)."""
-    x = mont_mul(x, tw, q, nqinv)
-    x = _sub_dif(x, st1, q, nqinv, n1)
-    x = mont_mul(x, corr, q, nqinv)
+def _ntt_row(x, tw, corr, st1, st2, q, n1, n2):
+    """Forward negacyclic NTT of one [n1, n2] row (four-step, in VMEM).
+    tw/corr: [2, n1, n2] Shoup pairs; st1/st2: [2, size, 1] packed."""
+    x = shoup_mul(x, tw[0], tw[1], q)
+    x = _sub_dif(x, st1, q, n1)
+    x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
-    x = _sub_dif(x, st2, q, nqinv, n2)
+    x = _sub_dif(x, st2, q, n2)
     return x.swapaxes(-1, -2)
 
 
-def _intt_row(x, tw, corr, st1, st2, q, nqinv, n1, n2):
+def _intt_row(x, tw, corr, st1, st2, q, n1, n2):
     """Inverse negacyclic NTT of one [n1, n2] row."""
     x = x.swapaxes(-1, -2)
-    x = _sub_dit(x, st2, q, nqinv, n2)
-    x = mont_mul(x, corr, q, nqinv)
+    x = _sub_dit(x, st2, q, n2)
+    x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
-    x = _sub_dit(x, st1, q, nqinv, n1)
-    return mont_mul(x, tw, q, nqinv)
+    x = _sub_dit(x, st1, q, n1)
+    return shoup_mul(x, tw[0], tw[1], q)
 
 
 def _mac_kernel(alpha, n1, n2):
@@ -78,7 +79,7 @@ def _mac_kernel(alpha, n1, n2):
                             nqinv), q)
 
         x = _ntt_row(d, tw_ref[0], corr_ref[0], st1_ref[0],
-                     st2_ref[0], q, nqinv, n1, n2)
+                     st2_ref[0], q, n1, n2)
 
         m0 = mont_mul(x, k0_ref[0, 0], q, nqinv)
         m1 = mont_mul(x, k1_ref[0, 0], q, nqinv)
@@ -105,34 +106,31 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
         rows = []
         for r in range(n_ext):
             q = qs_ref[r, 0]
-            nqinv = qs_ref[r, 1]
             rows.append(_intt_row(acc_ref[0, 0, r], twi_ref[r], cori_ref[r],
-                                  st1i_ref[r], st2i_ref[r], q, nqinv,
-                                  n1, n2))
+                                  st1i_ref[r], st2i_ref[r], q, n1, n2))
 
         # Divide-and-round by each key prime (executor_jax._divide_last).
         n_rem = n_ext
         for dstep in range(n_key):
-            p_val = pdiv_ref[dstep, n_ext]      # the dropped prime
-            p_half = pdiv_ref[dstep, n_ext + 1]  # p // 2
+            p_val = pdiv_ref[dstep, 0, n_ext]      # the dropped prime
+            p_half = pdiv_ref[dstep, 0, n_ext + 1]  # p // 2
             lift = rows[n_rem - 1]
             shift = p_val - lift                 # <= p < 2^31
             corr = jnp.where(lift > p_half, jnp.uint32(0), jnp.uint32(1))
             for r in range(n_rem - 1):
                 q = qs_ref[r, 0]
-                nqinv = qs_ref[r, 1]
                 v = rows[r] + shift              # < 2^32, no wrap
-                rr = mont_mul(v, pdiv_ref[dstep, r], q, nqinv)
+                rr = shoup_mul(v, pdiv_ref[dstep, 0, r],
+                               pdiv_ref[dstep, 1, r], q)
                 rows[r] = sub_mod(rr, corr, q)
             n_rem -= 1
 
         for r in range(n_out):
             if out_ntt:
                 q = qs_ref[r, 0]
-                nqinv = qs_ref[r, 1]
                 out_ref[0, 0, r] = _ntt_row(rows[r], twf_ref[r], corf_ref[r],
-                                         st1f_ref[r], st2f_ref[r], q, nqinv,
-                                         n1, n2)
+                                            st1f_ref[r], st2f_ref[r], q,
+                                            n1, n2)
             else:
                 out_ref[0, 0, r] = rows[r]
 
@@ -164,18 +162,20 @@ class PallasKeySwitch:
         # kept 2D for SMEM (row j*alpha+k, column i).
         self.conv = conv_mont.reshape(n_groups * alpha, self.n_ext)
 
-        # Division constants: row r of step d is (p_d^-1 mod q_r) in
-        # Montgomery form; columns n_ext / n_ext+1 carry p_d and p_d//2.
-        pdiv = np.zeros((n_key, self.n_ext + 2), dtype=np.uint32)
+        # Division constants: step d, row r holds the Shoup pair of
+        # (p_d^-1 mod q_r); columns n_ext / n_ext+1 of the w plane carry
+        # p_d and p_d//2 as plain scalars.
+        pdiv = np.zeros((n_key, 2, self.n_ext + 2), dtype=np.uint32)
         rem = list(ext_primes)
         for d in range(n_key):
             p = rem[-1]
             rem = rem[:-1]
             for r, q in enumerate(rem):
                 inv = pow(p % q, q - 2, q)
-                pdiv[d, r] = (inv << 32) % q
-            pdiv[d, self.n_ext] = p
-            pdiv[d, self.n_ext + 1] = p // 2
+                pdiv[d, 0, r] = inv
+                pdiv[d, 1, r] = (inv << 32) // q
+            pdiv[d, 0, self.n_ext] = p
+            pdiv[d, 0, self.n_ext + 1] = p // 2
         self.pdiv = pdiv
 
     def _interpret(self):
@@ -199,7 +199,7 @@ class PallasKeySwitch:
             return (j, i, 0, 0)
 
         def tabidx(b, i, j):
-            return (i, 0, 0)
+            return (i, 0, 0, 0)
 
         def accidx(b, i, j):
             return (b, i, 0, 0)
@@ -220,10 +220,10 @@ class PallasKeySwitch:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, n1, n2), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, n2), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n1, 1), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n2, 1), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n1, 1), tabidx, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
             ],
             out_specs=(acc_spec, acc_spec),
             out_shape=(out_shape, out_shape),
@@ -260,7 +260,7 @@ class PallasKeySwitch:
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
                              memory_space=pltpu.SMEM),
-                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0),
+                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
                              memory_space=pltpu.SMEM),
                 full(t.tw_inv.shape),
                 full(t.corr_inv.shape),
@@ -268,8 +268,8 @@ class PallasKeySwitch:
                 full(t.st2_i.shape + (1,)),
                 full((self.n_out,) + t.tw_fwd.shape[1:]),
                 full((self.n_out,) + t.corr_fwd.shape[1:]),
-                full((self.n_out, t.st1_f.shape[1], 1)),
-                full((self.n_out, t.st2_f.shape[1], 1)),
+                full((self.n_out,) + t.st1_f.shape[1:] + (1,)),
+                full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
             ],
             out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
                                    memory_space=pltpu.VMEM),
@@ -277,7 +277,7 @@ class PallasKeySwitch:
         )(acc, self.qs, self.pdiv,
           t.tw_inv, t.corr_inv, t.st1_i[..., None], t.st2_i[..., None],
           t.tw_fwd[:self.n_out], t.corr_fwd[:self.n_out],
-          t.st1_f[:self.n_out, :, None], t.st2_f[:self.n_out, :, None])
+          t.st1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
         return (out[:, 0].reshape(B, self.n_out, self.n),
                 out[:, 1].reshape(B, self.n_out, self.n))
 

@@ -1,9 +1,11 @@
 """Precomputed device tables for one RNS prime set (one chain level).
 
-Holds per-row modulus constants and Montgomery-form NTT twiddle tables,
-plus the vectorized transforms over [n_sub, N] uint32 limb planes. The
+Holds per-row modulus constants and Shoup-pair NTT twiddle tables, plus
+the vectorized transforms over [n_sub, N] uint32 limb planes. The
 butterfly schedule is identical to the host tables (crypto/ntt.py), so
-device results are bit-identical to the numpy backend."""
+device results are bit-identical to the numpy backend. Twiddle
+multiplies use shoup_mul (known-constant operand); data x data
+multiplies (dyadic ops) stay Montgomery."""
 
 from __future__ import annotations
 
@@ -14,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..crypto.ntt import get_table
-from .modmath import add_mod, mont_constants, mont_mul, sub_mod
+from .modmath import add_mod, mont_constants, mont_mul, shoup_mul, sub_mod
 
 
 class DeviceLevelOps:
@@ -37,18 +39,24 @@ class DeviceLevelOps:
         tables = [get_table(q, n) for q in primes]
         self.logn = tables[0].logn
 
-        from .modmath import to_mont_rows
+        from .modmath import shoup_pair
 
-        def stack_mont(rows: List[np.ndarray]) -> np.ndarray:
-            return to_mont_rows(np.stack(rows), primes)
+        def stack_pairs(rows: List[np.ndarray]):
+            """Per-row Shoup (w, w') pair for [n_sub, ...] constant planes."""
+            w = np.stack(rows)
+            ws = np.empty(w.shape, dtype=np.uint32)
+            wp = np.empty(w.shape, dtype=np.uint32)
+            for i, q in enumerate(primes):
+                ws[i], wp[i] = shoup_pair(w[i], q)
+            return ws, wp
 
-        self.twist = stack_mont([t.twist for t in tables])
-        self.untwist = stack_mont([t.untwist for t in tables])
+        self.twist = stack_pairs([t.twist for t in tables])
+        self.untwist = stack_pairs([t.untwist for t in tables])
         self.stage_w = [
-            stack_mont([t.stage_w[s] for t in tables])
+            stack_pairs([t.stage_w[s] for t in tables])
             for s in range(self.logn)]
         self.stage_w_inv = [
-            stack_mont([t.stage_w_inv[s] for t in tables])
+            stack_pairs([t.stage_w_inv[s] for t in tables])
             for s in range(self.logn)]
 
     # -- elementwise --------------------------------------------------------
@@ -77,17 +85,17 @@ class DeviceLevelOps:
         lead = x.shape[:-1]
         n = self.n
         q3 = self.q[:, None, :]
-        nq3 = self.nqinv[:, None, :]
         for s in range(self.logn, 0, -1):
             m = 1 << s
             half = m >> 1
-            w = self.stage_w[s - 1][:, None, :]  # [n_sub, 1, half]
+            ww, wp = self.stage_w[s - 1]         # [n_sub, half] Shoup pair
             xr = x.reshape(*lead, n >> s, m)
             lo = xr[..., :half]
             hi = xr[..., half:]
             x = jnp.concatenate(
                 (add_mod(lo, hi, q3),
-                 mont_mul(sub_mod(lo, hi, q3), w, q3, nq3)),
+                 shoup_mul(sub_mod(lo, hi, q3), ww[:, None, :],
+                           wp[:, None, :], q3)),
                 axis=-1).reshape(*lead, n)
         return x
 
@@ -96,14 +104,13 @@ class DeviceLevelOps:
         lead = x.shape[:-1]
         n = self.n
         q3 = self.q[:, None, :]
-        nq3 = self.nqinv[:, None, :]
         for s in range(1, self.logn + 1):
             m = 1 << s
             half = m >> 1
-            w = self.stage_w_inv[s - 1][:, None, :]
+            ww, wp = self.stage_w_inv[s - 1]
             xr = x.reshape(*lead, n >> s, m)
             lo = xr[..., :half]
-            hi = mont_mul(xr[..., half:], w, q3, nq3)
+            hi = shoup_mul(xr[..., half:], ww[:, None, :], wp[:, None, :], q3)
             x = jnp.concatenate(
                 (add_mod(lo, hi, q3), sub_mod(lo, hi, q3)),
                 axis=-1).reshape(*lead, n)
@@ -157,10 +164,12 @@ class DeviceLevelOps:
         p = self._pallas()
         if p is not None:
             return p.ntt(a)
-        return self._dif_forward(self.mul_mont(a, self.twist))
+        return self._dif_forward(
+            shoup_mul(a, self.twist[0], self.twist[1], self.q))
 
     def intt(self, x):
         p = self._pallas()
         if p is not None:
             return p.intt(x)
-        return self.mul_mont(self._dit_inverse(x), self.untwist)
+        return shoup_mul(self._dit_inverse(x),
+                         self.untwist[0], self.untwist[1], self.q)
