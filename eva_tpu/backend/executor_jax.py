@@ -573,13 +573,15 @@ class JaxProgram:
         if key not in self._sharded_cache:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
-            specs = jax.tree.map(lambda _: P("batch"), (cipher_in, plain_in))
+            from ..parallel.sharding import batch_axes
+            bax = batch_axes(mesh)  # ("host", "batch") on a DCN mesh
+            specs = jax.tree.map(lambda _: P(bax), (cipher_in, plain_in))
             n_dp = mesh.shape.get("limb", 1)
             use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
                       and self._ks_sites())
             if not use_dp:
                 out_specs = jax.tree.map(
-                    lambda _: P("batch"),
+                    lambda _: P(bax),
                     jax.eval_shape(self._traced, cipher_in, plain_in))
                 self._sharded_cache[key] = jax.jit(shard_map(
                     lambda c, p: self._traced(c, p),
@@ -600,7 +602,7 @@ class JaxProgram:
                     dp_keys[f"{name}@L{level}"] = self.dkeys.dp_layout(
                         ksk, level, n_dp)
                 out_specs = jax.tree.map(
-                    lambda _: P("batch"),
+                    lambda _: P(bax),
                     jax.eval_shape(
                         lambda c, p: self._body_dp(
                             c, p, dp_tabs, dp_keys, None, n_dp),
@@ -760,6 +762,24 @@ class JaxProgram:
 
         acc0 = ip(*layout[0])
         acc1 = ip(*layout[1])
+
+        if self._fused_ks_ok(level):
+            # Same fused iNTT + P-division (+ output NTT) epilogue kernel
+            # the fully-fused path uses — one VMEM-resident pass instead
+            # of three HBM round-trips per switched polynomial. This is
+            # what hoisted (multi-rotation) sources pay per rotation, so
+            # it carries the fused-kernel win to Sobel-class workloads.
+            from .pallas_ks import get_pallas_epilogue
+            epi = get_pallas_epilogue(
+                tuple(primes) + tuple(ctx.key_primes), ctx.n,
+                len(ctx.key_primes))
+            lead = acc0.shape[:-2]
+            n_ext = acc0.shape[-2]
+            a0 = acc0.reshape((-1, n_ext, ctx.n))
+            a1 = acc1.reshape((-1, n_ext, ctx.n))
+            d0, d1 = epi.epilogue(a0, a1, out_ntt=not coeff_out)
+            out_shape = lead + (len(primes), ctx.n)
+            return d0.reshape(out_shape), d1.reshape(out_shape)
 
         def div_p(acc):
             coeffs_ext = ext.intt(acc)
@@ -1199,7 +1219,7 @@ class JaxProgram:
             return []
         pad = 0
         if mesh is not None:
-            n_batch_devices = mesh.shape["batch"]
+            n_batch_devices = mesh.shape["batch"] * mesh.shape.get("host", 1)
             rem = batch % n_batch_devices
             if rem:
                 pad = n_batch_devices - rem
@@ -1209,7 +1229,8 @@ class JaxProgram:
         def place(arr):
             if mesh is None:
                 return arr
-            return _jax.device_put(arr, NamedSharding(mesh, P("batch")))
+            from ..parallel.sharding import batch_axes
+            return _jax.device_put(arr, NamedSharding(mesh, P(batch_axes(mesh))))
 
         cipher_in = {}
         plain_in = {}

@@ -137,15 +137,14 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
     return kernel
 
 
-class PallasKeySwitch:
-    """Fused key switch for one (ext-basis prime list, n, alpha) triple.
+class PallasEpilogue:
+    """Fused key-switch epilogue for one (ext-basis prime list, n, n_key):
+    iNTT of the extended-basis accumulators, divide-and-round by each key
+    prime, optional output NTT — one VMEM-resident kernel instead of
+    three HBM round-trips. Shared by the fused key switch AND the
+    structured/hoisted path (executor_jax._ks_apply)."""
 
-    ext_primes = data primes at the level + key primes. `apply` takes the
-    pre-FBE y rows and a dense [n_groups, n_ext, N] key layout and
-    returns the two switched polynomials after P-division."""
-
-    def __init__(self, ext_primes: List[int], n: int, n_key: int,
-                 alpha: int, n_groups: int, conv_mont: np.ndarray):
+    def __init__(self, ext_primes: List[int], n: int, n_key: int):
         self.n = n
         self.n1 = n // LANES
         self.n2 = LANES
@@ -153,14 +152,9 @@ class PallasKeySwitch:
         self.n_ext = len(ext_primes)
         self.n_key = n_key
         self.n_out = self.n_ext - n_key
-        self.alpha = alpha
-        self.n_groups = n_groups
         t = PallasNTTTables(self.ext_primes, n)
         self.t = t
         self.qs = np.stack([t.q, t.nqinv], axis=1).astype(np.uint32)
-        # conv_mont arrives [n_groups*alpha, n_ext] (pad rows zero);
-        # kept 2D for SMEM (row j*alpha+k, column i).
-        self.conv = conv_mont.reshape(n_groups * alpha, self.n_ext)
 
         # Division constants: step d, row r holds the Shoup pair of
         # (p_d^-1 mod q_r); columns n_ext / n_ext+1 of the w plane carry
@@ -180,6 +174,73 @@ class PallasKeySwitch:
 
     def _interpret(self):
         return jax.default_backend() != "tpu"
+
+    def epilogue(self, acc0, acc1, out_ntt: bool):
+        """acc0/acc1: [B, n_ext, N] -> d0, d1: [B, n_out, N]."""
+        t = self.t
+        n1, n2 = self.n1, self.n2
+        B = acc0.shape[0]
+        acc = jnp.stack([acc0, acc1], axis=1).reshape(
+            B, 2, self.n_ext, n1, n2)
+        grid = (B, 2)
+        out_shape = jax.ShapeDtypeStruct((B, 2, self.n_out, n1, n2),
+                                         jnp.uint32)
+
+        def accidx(b, p):
+            return (b, p, 0, 0, 0)
+
+        def full(shape):
+            nd = len(shape)
+            return pl.BlockSpec(shape, lambda b, p: (0,) * nd,
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, out_ntt),
+            grid=grid,
+            interpret=self._interpret(),
+            in_specs=[
+                pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
+                             memory_space=pltpu.SMEM),
+                full(t.tw_inv.shape),
+                full(t.corr_inv.shape),
+                full(t.st1_i.shape + (1,)),
+                full(t.st2_i.shape + (1,)),
+                full((self.n_out,) + t.tw_fwd.shape[1:]),
+                full((self.n_out,) + t.corr_fwd.shape[1:]),
+                full((self.n_out,) + t.st1_f.shape[1:] + (1,)),
+                full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
+                                   memory_space=pltpu.VMEM),
+            out_shape=out_shape,
+        )(acc, self.qs, self.pdiv,
+          t.tw_inv, t.corr_inv, t.st1_i[..., None], t.st2_i[..., None],
+          t.tw_fwd[:self.n_out], t.corr_fwd[:self.n_out],
+          t.st1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
+        return (out[:, 0].reshape(B, self.n_out, self.n),
+                out[:, 1].reshape(B, self.n_out, self.n))
+
+
+
+class PallasKeySwitch(PallasEpilogue):
+    """Fused key switch for one (ext-basis prime list, n, alpha) triple.
+
+    ext_primes = data primes at the level + key primes. `apply` takes the
+    pre-FBE y rows and a dense [n_groups, n_ext, N] key layout and
+    returns the two switched polynomials after P-division."""
+
+    def __init__(self, ext_primes: List[int], n: int, n_key: int,
+                 alpha: int, n_groups: int, conv_mont: np.ndarray):
+        super().__init__(ext_primes, n, n_key)
+        self.alpha = alpha
+        self.n_groups = n_groups
+        # conv_mont arrives [n_groups*alpha, n_ext] (pad rows zero);
+        # kept 2D for SMEM (row j*alpha+k, column i).
+        self.conv = conv_mont.reshape(n_groups * alpha, self.n_ext)
 
     def mac(self, y, k0, k1):
         """y: [B, n_groups, alpha, N]; k0/k1: [n_groups, n_ext, N] mont.
@@ -232,58 +293,15 @@ class PallasKeySwitch:
         return (acc0.reshape(B, self.n_ext, self.n),
                 acc1.reshape(B, self.n_ext, self.n))
 
-    def epilogue(self, acc0, acc1, out_ntt: bool):
-        """acc0/acc1: [B, n_ext, N] -> d0, d1: [B, n_out, N]."""
-        t = self.t
-        n1, n2 = self.n1, self.n2
-        B = acc0.shape[0]
-        acc = jnp.stack([acc0, acc1], axis=1).reshape(
-            B, 2, self.n_ext, n1, n2)
-        grid = (B, 2)
-        out_shape = jax.ShapeDtypeStruct((B, 2, self.n_out, n1, n2),
-                                         jnp.uint32)
-
-        def accidx(b, p):
-            return (b, p, 0, 0, 0)
-
-        def full(shape):
-            nd = len(shape)
-            return pl.BlockSpec(shape, lambda b, p: (0,) * nd,
-                                memory_space=pltpu.VMEM)
-
-        out = pl.pallas_call(
-            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, out_ntt),
-            grid=grid,
-            interpret=self._interpret(),
-            in_specs=[
-                pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                full(t.tw_inv.shape),
-                full(t.corr_inv.shape),
-                full(t.st1_i.shape + (1,)),
-                full(t.st2_i.shape + (1,)),
-                full((self.n_out,) + t.tw_fwd.shape[1:]),
-                full((self.n_out,) + t.corr_fwd.shape[1:]),
-                full((self.n_out,) + t.st1_f.shape[1:] + (1,)),
-                full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
-                                   memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-        )(acc, self.qs, self.pdiv,
-          t.tw_inv, t.corr_inv, t.st1_i[..., None], t.st2_i[..., None],
-          t.tw_fwd[:self.n_out], t.corr_fwd[:self.n_out],
-          t.st1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
-        return (out[:, 0].reshape(B, self.n_out, self.n),
-                out[:, 1].reshape(B, self.n_out, self.n))
-
     def apply(self, y, k0, k1, out_ntt: bool = True):
         acc0, acc1 = self.mac(y, k0, k1)
         return self.epilogue(acc0, acc1, out_ntt)
+
+
+@lru_cache(maxsize=None)
+def get_pallas_epilogue(ext_primes: Tuple[int, ...], n: int,
+                        n_key: int) -> PallasEpilogue:
+    return PallasEpilogue(list(ext_primes), n, n_key)
 
 
 @lru_cache(maxsize=None)

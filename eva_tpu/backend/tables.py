@@ -139,16 +139,12 @@ class DeviceLevelOps:
         multiply-limited on TPU (measured 33% of the HBM roofline with
         the naive form), so the mult count is the lever.
 
-        Uses composed XLA ops: measured FASTER than the fused Pallas
-        kernel because XLA's elementwise fusion pipelines large fused
-        loops better than a (batch x limb) grid of 64KB Pallas blocks.
-        pallas_dyadic.py keeps the fused kernel for future block-size
-        tuning (set EVA_TPU_FUSED_DYADIC=1 to enable)."""
-        import os
-        if os.environ.get("EVA_TPU_FUSED_DYADIC") and self._pallas() is not None:
-            from .pallas_dyadic import get_pallas_dyadic
-            pd = get_pallas_dyadic(tuple(self.primes), self.n)
-            return list(pd.ct_mul(a0, a1, b0, b1))
+        Uses composed XLA ops: a fused Pallas variant was measured
+        SLOWER (42k vs 79k ct-mul/s) because XLA's elementwise fusion
+        pipelines large fused loops better than a (batch x limb) grid of
+        64KB Pallas blocks; the kernel was removed rather than tuned —
+        the op is already within ~2x of the HBM roofline and the NTT /
+        key-switch dominate real programs."""
         a0m = self.mul_mont(a0, self.r2)  # a0*R mod q (Montgomery form)
         a1m = self.mul_mont(a1, self.r2)
         am_sum = self.add(a0m, a1m)

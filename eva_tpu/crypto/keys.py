@@ -112,7 +112,7 @@ def expand_uniform(ctx: CKKSContext, primes: List[int],
 
 
 def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
-                      rng, alpha: int = 1) -> KSwitchKey:
+                      rng, alpha: int = 1, engine=None) -> KSwitchKey:
     """Encrypt P * g_j * target under s, one digit per GROUP of `alpha`
     consecutive data sub-primes (hybrid/"dnum" key switching).
 
@@ -124,35 +124,56 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
     Qhat_{j'} == 0 (mod q_i) for j' != j. alpha=1 is the per-sub-prime
     scheme (digits < 2^31, decomposition is a raw row re-broadcast).
     target_ntt: [n_all, N] NTT-domain residues of the key being switched
-    FROM (s^2 for relinearization, sigma_g(s) for rotations)."""
+    FROM (s^2 for relinearization, sigma_g(s) for rotations).
+
+    All randomness is sampled here on the host (CSPRNG seeds + the shared
+    error stream, one draw per digit in group order); `engine` only
+    batches the deterministic arithmetic on device and is byte-identical
+    to the host path (backend/keygen.DeviceKeygen)."""
     basis = ctx.all_primes
     P = ctx.key_entry.product
     Q = 1
     for q in ctx.data_primes:
         Q *= q
-    s_rows = s.s  # full basis
-    k0, k1, k1_seeds = [], [], []
-    for group in ctx.ks_groups(alpha):
+    groups = ctx.ks_groups(alpha)
+    k1_seeds, As, Es = [], [], []
+    facs = np.empty((len(groups), len(basis)), dtype=np.uint64)
+    for j, group in enumerate(groups):
         Q_j = 1
         for t in group:
             Q_j *= ctx.data_primes[t]
         Qhat = Q // Q_j
         g_j = Qhat * pow(Qhat % Q_j, -1, Q_j)
         factor = P * g_j
+        facs[j] = [factor % q for q in basis]
         a_seed = secrets.token_bytes(32)
         k1_seeds.append(a_seed)
-        a = expand_uniform(ctx, basis, a_seed)
-        e_ntt = _small_poly_residues(ctx, _sample_error(ctx, rng), basis)
-        fac = np.broadcast_to(
-            np.array([factor % q for q in basis], dtype=np.uint64)[:, None],
-            target_ntt.shape)
+        As.append(expand_uniform(ctx, basis, a_seed))
+        Es.append(_sample_error(ctx, rng))
+    k0, k1 = _ksk_compute(ctx, s.s, target_ntt, As, Es, facs, engine)
+    return KSwitchKey(k0, k1, k1_seeds, alpha=alpha)
+
+
+def _ksk_compute(ctx: CKKSContext, s_rows: np.ndarray, target_ntt: np.ndarray,
+                 As, Es, facs: np.ndarray, engine=None):
+    """b_j = fac_j * target - a_j * s + NTT(e_j) for every digit j.
+    Host numpy loop, or batched on device when an engine is given —
+    exact modular arithmetic either way, so the outputs are
+    byte-identical (tested in tests/test_crypto.py)."""
+    if engine is not None:
+        return engine.ksk_compute(s_rows, target_ntt, As, Es, facs)
+    basis = ctx.all_primes
+    k0, k1 = [], []
+    for a, e, fac in zip(As, Es, facs):
+        e_ntt = _small_poly_residues(ctx, e, basis)
+        f = np.broadcast_to(fac[:, None], target_ntt.shape)
         b = ctx.add(
-            ctx.sub(ctx.mul(fac, target_ntt, basis),
+            ctx.sub(ctx.mul(f, target_ntt, basis),
                     ctx.mul(a, s_rows, basis), basis),
             e_ntt, basis)
         k0.append(b)
         k1.append(a)
-    return KSwitchKey(k0, k1, k1_seeds, alpha=alpha)
+    return k0, k1
 
 
 def default_ks_alpha() -> int:
@@ -167,7 +188,11 @@ def default_ks_alpha() -> int:
     return max(1, int(os.environ.get("EVA_TPU_KS_ALPHA", "2")))
 
 
-def generate_keys(ctx: CKKSContext, alpha: int = None) -> KeySet:
+def generate_keys(ctx: CKKSContext, alpha: int = None,
+                  engine=None) -> KeySet:
+    """engine=None: host numpy. An engine (backend/keygen.DeviceKeygen)
+    batches the per-digit KSK arithmetic on device — byte-identical key
+    material, ~4x faster wall time for rotation-heavy key sets."""
     if alpha is None:
         alpha = default_ks_alpha()
     rng = _rng()
@@ -184,7 +209,7 @@ def generate_keys(ctx: CKKSContext, alpha: int = None) -> KeySet:
 
     # Relinearization key: s^2 -> s.
     s2 = (s.s * s.s) % ctx.qvec(ctx.all_primes)
-    relin = _make_kswitch_key(ctx, s, s2, rng, alpha)
+    relin = _make_kswitch_key(ctx, s, s2, rng, alpha, engine)
 
     # Galois keys, one per rotation step.
     galois: Dict[int, KSwitchKey] = {}
@@ -193,7 +218,7 @@ def generate_keys(ctx: CKKSContext, alpha: int = None) -> KeySet:
         if g in galois:
             continue
         s_g = ctx.apply_automorphism(s.s, g)
-        galois[g] = _make_kswitch_key(ctx, s, s_g, rng, alpha)
+        galois[g] = _make_kswitch_key(ctx, s, s_g, rng, alpha, engine)
     return KeySet(ctx, s, public, relin, galois)
 
 

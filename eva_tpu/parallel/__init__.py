@@ -14,8 +14,15 @@ plus SIMD slot batching inside each ciphertext. The TPU-native mapping
   * NEW: limb axis      -> RNS sub-prime planes sharded over the mesh
                            ("tp"-like; NTT/dyadic ops are limb-local,
                            rescale/key-switch gather single limb rows)
+  * NEW: host axis      -> DCN dimension under jax.distributed; the
+                           batch sharding (zero-communication) crosses
+                           hosts while limb/digit collectives ride ICI
+  * NEW: sharded-N NTT  -> one all-to-all between the two four-step
+                           phases when a single polynomial is sharded
+                           (ntt_shard.ShardedNTT)
 """
 
-from .sharding import (make_device_mesh, shard_batch, batch_pipeline_step,
-                       replicated)
+from .sharding import (make_device_mesh, shard_batch, batch_axes,
+                       batch_pipeline_step, replicated)
 from .ks_shard import ShardedKeySwitch
+from .ntt_shard import ShardedNTT, get_sharded_ntt

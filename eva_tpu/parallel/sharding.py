@@ -25,26 +25,47 @@ from ..backend.tables import DeviceLevelOps
 
 
 def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
-                     devices=None) -> Mesh:
-    """1- or 2-axis mesh ("batch", "limb") over the available devices."""
+                     devices=None, hosts: int = 1) -> Mesh:
+    """Mesh over the available devices: ("batch", "limb"), or with
+    hosts > 1 a leading "host" axis ("host", "batch", "limb").
+
+    The host axis is the DCN dimension: under jax.distributed each
+    process contributes its local devices, jax.devices() returns the
+    global list ordered by process, and reshaping (hosts, ...) first
+    puts each host's devices in one "host" row — so "batch"/"limb"
+    collectives ride ICI within a host while only the batch sharding
+    (zero communication) crosses DCN. Executors treat ("host", "batch")
+    together as the batch sharding axes."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.array(devices[:n_devices])
-    assert n_devices % limb_axis == 0
+    assert n_devices % (limb_axis * hosts) == 0
+    if hosts > 1:
+        return Mesh(
+            devices.reshape(hosts, n_devices // (hosts * limb_axis),
+                            limb_axis),
+            ("host", "batch", "limb"))
     return Mesh(devices.reshape(n_devices // limb_axis, limb_axis),
                 ("batch", "limb"))
 
 
+def batch_axes(mesh: Mesh):
+    """The mesh axis (or axes) the ciphertext-batch dimension shards
+    over: ("host", "batch") on a DCN mesh, "batch" otherwise."""
+    return ("host", "batch") if "host" in mesh.axis_names else "batch"
+
+
 def shard_batch(planes: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """Place [batch, n_sub, N] planes: batch over "batch", limbs over
-    "limb" when divisible."""
+    """Place [batch, n_sub, N] planes: batch over "batch" (and "host" on
+    a DCN mesh), limbs over "limb" when divisible."""
+    bax = batch_axes(mesh)
     limb_parts = mesh.shape["limb"]
     if planes.shape[1] % limb_parts == 0 and limb_parts > 1:
-        spec = P("batch", "limb", None)
+        spec = P(bax, "limb", None)
     else:
-        spec = P("batch", None, None)
+        spec = P(bax, None, None)
     return jax.device_put(planes, NamedSharding(mesh, spec))
 
 

@@ -189,6 +189,17 @@ def generate_keys(params: CKKSParameters, backend: Optional[str] = None):
     key, and one Galois key per rotation step."""
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
                       params.poly_modulus_degree)
-    keys = _keys.generate_keys(ctx)
+    engine = None
+    if backend == "jax":
+        try:
+            import jax
+            if jax.default_backend() == "tpu":
+                # On CPU XLA the batched engine loses to the native host
+                # NTT; on TPU it cuts rotation-heavy keygen ~4x.
+                from ..backend.keygen import DeviceKeygen
+                engine = DeviceKeygen(ctx)
+        except Exception:
+            engine = None  # keygen is host-correct without it
+    keys = _keys.generate_keys(ctx, engine=engine)
     return (EVAPublic(ctx, keys, params, backend=backend),
             EVASecret(ctx, keys, params))

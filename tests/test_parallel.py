@@ -210,3 +210,83 @@ class TestDigitParallelProgram:
         mse = valuation_mse(sec.decrypt(dps[0], sig),
                             evaluate(prog, batch_inputs[0]))
         assert mse < 0.01
+
+
+class TestShardedNTT:
+    def test_sharded_n_ntt_bit_exact_n16384(self):
+        """Single-polynomial NTT with N sharded over 8 devices: one
+        all-to-all between the two four-step phases (SURVEY §2.9 "NTT
+        stage exchanges"). Bit-exact vs the host tables at N=16384, and
+        intt(ntt(x)) round-trips to the input."""
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        from jax.experimental.shard_map import shard_map
+        from eva_tpu.crypto.primes import build_chain
+        from eva_tpu.crypto.ntt import get_table
+        from eva_tpu.parallel.ntt_shard import get_sharded_ntt
+
+        n, n_dev = 16384, 8
+        chain = build_chain([60, 60], n)
+        primes = [q for e in chain for q in e.primes]
+        sntt = get_sharded_ntt(tuple(primes), n, "n", n_dev)
+        n1, n2 = sntt.n1, sntt.n2
+
+        rng = np.random.default_rng(9)
+        x = np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                      for q in primes])
+        want = np.stack([get_table(q, n).ntt(x[i])
+                         for i, q in enumerate(primes)])
+
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("n",))
+        fwd = jax.jit(shard_map(
+            sntt.ntt, mesh=mesh,
+            in_specs=P(None, None, "n"), out_specs=P(None, "n", None),
+            check_rep=False))
+        inv = jax.jit(shard_map(
+            sntt.intt, mesh=mesh,
+            in_specs=P(None, "n", None), out_specs=P(None, None, "n"),
+            check_rep=False))
+
+        xm = jnp.asarray(x.astype(np.uint32).reshape(len(primes), n1, n2))
+        got = fwd(xm)
+        np.testing.assert_array_equal(
+            np.asarray(got).reshape(len(primes), n).astype(np.uint64), want)
+        back = inv(got)
+        np.testing.assert_array_equal(
+            np.asarray(back).astype(np.uint32),
+            x.astype(np.uint32).reshape(len(primes), n1, n2))
+
+
+class TestHostAxisMesh:
+    def test_compiled_program_on_dcn_mesh_bit_identical(self):
+        """A ("host", "batch", "limb") mesh — the DCN layout used under
+        jax.distributed — must execute a compiled program bit-identically
+        to single-device execution. On one process this exercises the
+        axis plumbing; tools/bench_scaling.py rehearses the real
+        multi-process form."""
+        import random
+        random.seed(17)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+
+        prog = EvaProgram("dcn", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", 2 * x ** 2 + (x << 2) + 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(4)]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+
+        mesh = make_device_mesh(8, limb_axis=2, hosts=2)
+        assert dict(mesh.shape) == {"host": 2, "batch": 2, "limb": 2}
+        outs = pub.execute_batch(compiled, encs, mesh=mesh)
+        for a, b in zip(singles, outs):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))

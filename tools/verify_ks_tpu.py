@@ -30,11 +30,29 @@ def check(ctx, alpha, level, out_ntt, seed=11):
     dev = level_ops(primes, ctx.n)
     coeffs = dev.intt(poly_j)
 
-    ref0, ref1 = jp._ks_apply(
-        jp._ks_digits(poly_j, level), level,
-        jp.dkeys.layout(ks.relin, level), coeff_out=not out_ntt)
+    # Reference: the pure-XLA structured path (the epilogue inside
+    # _ks_apply also takes the fused Pallas kernel when _fused_ks_ok,
+    # so force it off for an independent oracle).
+    import os
+    os.environ["EVA_TPU_NO_FUSED_KS"] = "1"
+    try:
+        ref0, ref1 = jp._ks_apply(
+            jp._ks_digits(poly_j, level), level,
+            jp.dkeys.layout(ks.relin, level), coeff_out=not out_ntt)
+    finally:
+        os.environ.pop("EVA_TPU_NO_FUSED_KS", None)
     got0, got1 = jp._ks_fused_coeffs(coeffs, level, ks.relin,
                                      out_ntt=out_ntt)
+    # The structured path WITH the fused epilogue (hoisted-rotation form).
+    mid0, mid1 = jp._ks_apply(
+        jp._ks_digits(poly_j, level), level,
+        jp.dkeys.layout(ks.relin, level), coeff_out=not out_ntt)
+    ok_mid = (np.array_equal(np.asarray(ref0), np.asarray(mid0))
+              and np.array_equal(np.asarray(ref1), np.asarray(mid1)))
+    if not ok_mid:
+        print(f"  n={ctx.n} alpha={alpha} level={level} out_ntt={out_ntt}: "
+              f"EPILOGUE MISMATCH", flush=True)
+        return False
     ok = (np.array_equal(np.asarray(ref0), np.asarray(got0))
           and np.array_equal(np.asarray(ref1), np.asarray(got1)))
     print(f"  n={ctx.n} alpha={alpha} level={level} out_ntt={out_ntt}: "
