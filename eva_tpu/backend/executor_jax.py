@@ -681,9 +681,13 @@ class JaxProgram:
             alpha = self.keys.ks_alpha
         n_groups, owner, sel = _ks_maps(ctx, level, alpha)
         if alpha == 1:
-            acc = jnp.broadcast_to(
+            # Each residue row broadcasts into every basis row; values
+            # are < q_t but possibly >= basis[i], and the merged-twist
+            # NTT requires reduced input — one Shoup-by-1 pass reduces.
+            ext = self._ext_ops_at(level)
+            acc = ext.reduce(jnp.broadcast_to(
                 coeffs[..., :, None, :],
-                coeffs.shape[:-2] + (n_cur, n_ext, ctx.n))
+                coeffs.shape[:-2] + (n_cur, n_ext, ctx.n)))
         else:
             ext = self._ext_ops_at(level)
             _, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
@@ -808,10 +812,10 @@ class JaxProgram:
             return False
         n_ext = (len(self.ctx.primes_at_level(level))
                  + len(self.ctx.key_primes))
-        # acc block + rows working set + tw_inv/corr_inv Shoup pairs
-        # (2 planes each) at n_ext rows, tw_fwd/corr_fwd pairs at n_out
-        # rows; stage tables are negligible.
-        footprint = (6 * n_ext + 4 * (n_ext - len(self.ctx.key_primes))) \
+        # acc block + rows working set + the merged corr_inv Shoup pair
+        # (2 planes) at n_ext rows, merged corr_fwd pair at n_out rows;
+        # stage tables are negligible (twist tables are merged away).
+        footprint = (4 * n_ext + 2 * (n_ext - len(self.ctx.key_primes))) \
             * self.ctx.n * 4
         return footprint <= self._KS_VMEM_BUDGET
 

@@ -36,35 +36,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .modmath import add_mod, mont_mul, shoup_mul, sub_mod, to_mont
-from .pallas_ntt import PallasNTTTables, _sub_dif, _sub_dit
+from .pallas_ntt import (PallasNTTTables, _sub_ct_merged, _sub_dif,
+                         _sub_dit, _sub_gs_merged)
 
 LANES = 128
 
 
-def _ntt_row(x, tw, corr, st1, st2, q, n1, n2):
+def _ntt_row(x, corr, st1, st2, q, n1, n2):
     """Forward negacyclic NTT of one [n1, n2] row (four-step, in VMEM).
-    tw/corr: [2, n1, n2] Shoup pairs; st1/st2: [2, size, 1] packed."""
-    x = shoup_mul(x, tw[0], tw[1], q)
-    x = _sub_dif(x, st1, q, n1)
+    The twist is merged into st1 (Harvey form) and psi^c into corr;
+    requires reduced input. corr: [2, n1, n2] Shoup pairs; st1
+    merged-psi packed [2, n1, 1]; st2 cyclic packed [2, n2, 1]."""
+    x = _sub_ct_merged(x, st1, q, n1)
     x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
     x = _sub_dif(x, st2, q, n2)
     return x.swapaxes(-1, -2)
 
 
-def _intt_row(x, tw, corr, st1, st2, q, n1, n2):
-    """Inverse negacyclic NTT of one [n1, n2] row."""
+def _intt_row(x, corr, st1, st2, q, n1, n2):
+    """Inverse negacyclic NTT of one [n1, n2] row (untwist merged into
+    st1; psi^-c and N^-1 merged into corr)."""
     x = x.swapaxes(-1, -2)
     x = _sub_dit(x, st2, q, n2)
     x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
-    x = _sub_dit(x, st1, q, n1)
-    return shoup_mul(x, tw[0], tw[1], q)
+    return _sub_gs_merged(x, st1, q, n1)
 
 
 def _mac_kernel(alpha, n1, n2):
     def kernel(y_ref, k0_ref, k1_ref, conv_ref, qs_ref,
-               tw_ref, corr_ref, st1_ref, st2_ref,
+               corr_ref, st1_ref, st2_ref,
                acc0_ref, acc1_ref):
         i = pl.program_id(1)
         j = pl.program_id(2)
@@ -78,8 +80,7 @@ def _mac_kernel(alpha, n1, n2):
                 d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i], q,
                             nqinv), q)
 
-        x = _ntt_row(d, tw_ref[0], corr_ref[0], st1_ref[0],
-                     st2_ref[0], q, n1, n2)
+        x = _ntt_row(d, corr_ref[0], st1_ref[0], st2_ref[0], q, n1, n2)
 
         m0 = mont_mul(x, k0_ref[0, 0], q, nqinv)
         m1 = mont_mul(x, k1_ref[0, 0], q, nqinv)
@@ -101,12 +102,12 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
     n_out = n_ext - n_key
 
     def kernel(acc_ref, qs_ref, pdiv_ref,
-               twi_ref, cori_ref, st1i_ref, st2i_ref,
-               twf_ref, corf_ref, st1f_ref, st2f_ref, out_ref):
+               cori_ref, st1i_ref, st2i_ref,
+               corf_ref, st1f_ref, st2f_ref, out_ref):
         rows = []
         for r in range(n_ext):
             q = qs_ref[r, 0]
-            rows.append(_intt_row(acc_ref[0, 0, r], twi_ref[r], cori_ref[r],
+            rows.append(_intt_row(acc_ref[0, 0, r], cori_ref[r],
                                   st1i_ref[r], st2i_ref[r], q, n1, n2))
 
         # Divide-and-round by each key prime (executor_jax._divide_last).
@@ -128,7 +129,7 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
         for r in range(n_out):
             if out_ntt:
                 q = qs_ref[r, 0]
-                out_ref[0, 0, r] = _ntt_row(rows[r], twf_ref[r], corf_ref[r],
+                out_ref[0, 0, r] = _ntt_row(rows[r], corf_ref[r],
                                             st1f_ref[r], st2f_ref[r], q,
                                             n1, n2)
             else:
@@ -205,22 +206,20 @@ class PallasEpilogue:
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
                              memory_space=pltpu.SMEM),
-                full(t.tw_inv.shape),
-                full(t.corr_inv.shape),
-                full(t.st1_i.shape + (1,)),
+                full(t.mcorr_i.shape),
+                full(t.mst1_i.shape + (1,)),
                 full(t.st2_i.shape + (1,)),
-                full((self.n_out,) + t.tw_fwd.shape[1:]),
-                full((self.n_out,) + t.corr_fwd.shape[1:]),
-                full((self.n_out,) + t.st1_f.shape[1:] + (1,)),
+                full((self.n_out,) + t.mcorr_f.shape[1:]),
+                full((self.n_out,) + t.mst1_f.shape[1:] + (1,)),
                 full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
             ],
             out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
                                    memory_space=pltpu.VMEM),
             out_shape=out_shape,
         )(acc, self.qs, self.pdiv,
-          t.tw_inv, t.corr_inv, t.st1_i[..., None], t.st2_i[..., None],
-          t.tw_fwd[:self.n_out], t.corr_fwd[:self.n_out],
-          t.st1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
+          t.mcorr_i, t.mst1_i[..., None], t.st2_i[..., None],
+          t.mcorr_f[:self.n_out],
+          t.mst1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
         return (out[:, 0].reshape(B, self.n_out, self.n),
                 out[:, 1].reshape(B, self.n_out, self.n))
 
@@ -282,14 +281,13 @@ class PallasKeySwitch(PallasEpilogue):
                 pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
                              memory_space=pltpu.SMEM),
                 pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, n1, 1), tabidx, memory_space=pltpu.VMEM),
                 pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
             ],
             out_specs=(acc_spec, acc_spec),
             out_shape=(out_shape, out_shape),
         )(yr, k0r, k1r, self.conv, self.qs,
-          t.tw_fwd, t.corr_fwd, t.st1_f[..., None], t.st2_f[..., None])
+          t.mcorr_f, t.mst1_f[..., None], t.st2_f[..., None])
         return (acc0.reshape(B, self.n_ext, self.n),
                 acc1.reshape(B, self.n_ext, self.n))
 

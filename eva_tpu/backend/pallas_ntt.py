@@ -75,6 +75,17 @@ class PallasNTTTables:
         st1_i = np.empty((n_sub, 2, n1), dtype=np.uint32)
         st2_f = np.empty((n_sub, 2, n2), dtype=np.uint32)
         st2_i = np.empty((n_sub, 2, n2), dtype=np.uint32)
+        # Harvey merged-psi tables for the n1 sub-transform: the
+        # negacyclic twist psi^(n2*r) folds into the stage twiddles
+        # (root_powers[i] = psi1^rev(i)), eliminating the separate twist
+        # multiply pass; the psi^c lane factor folds into corr (see
+        # mcorr_*). mst1_f drives _sub_ct_merged (natural in, bit-rev
+        # out); mst1_i drives _sub_gs_merged (bit-rev in, natural out,
+        # unscaled — N^-1 lives in mcorr_inv).
+        mst1_f = np.empty((n_sub, 2, n1), dtype=np.uint32)
+        mst1_i = np.empty((n_sub, 2, n1), dtype=np.uint32)
+        mcorr_f = np.empty((n_sub, 2, n1, n2), dtype=np.uint32)
+        mcorr_i = np.empty((n_sub, 2, n2, n1), dtype=np.uint32)
 
         for li, q in enumerate(primes):
             t = get_table(q, n)
@@ -131,12 +142,36 @@ class PallasNTTTables:
             st2_f[li] = shoup_stack(packed(n2, omega), q)
             st2_i[li] = shoup_stack(packed(n2, omega_inv), q)
 
+            # Merged-psi tables. psi1 = psi^n2 is a primitive 2*n1-th
+            # root of -1 for the size-n1 negacyclic sub-transform.
+            psi1 = pow(psi, n2, q)
+            psi1_inv = pow(psi1, q - 2, q)
+            rp = np.array([pow(psi1, int(rev1[i]), q) for i in range(n1)],
+                          dtype=np.uint64)
+            ip = np.array([pow(psi1_inv, int(rev1[i]), q)
+                           for i in range(n1)], dtype=np.uint64)
+            mst1_f[li] = shoup_stack(rp, q)
+            mst1_i[li] = shoup_stack(ip, q)
+            # corr' = corr * psi^c (forward); corr_inv' = corr_inv *
+            # psi^-c * N^-1 (inverse; c is the lane index = axis 0 of
+            # the [n2, n1] layout corr_inv applies in).
+            psi_c = np.array([pow(psi, c, q) for c in range(n2)],
+                             dtype=np.uint64)
+            mcorr_f[li] = shoup_stack(w_n2k1 * psi_c[None, :] % q, q)
+            psi_inv = pow(psi, q - 2, q)
+            n_inv = pow(n, q - 2, q)
+            psi_ci = np.array([pow(psi_inv, c, q) * n_inv % q
+                               for c in range(n2)], dtype=np.uint64)
+            mcorr_i[li] = shoup_stack(w_inv_n2k1 * psi_ci[:, None] % q, q)
+
         self.tw_fwd = tw_fwd
         self.tw_inv = tw_inv
         self.corr_fwd = corr_fwd
         self.corr_inv = corr_inv
         self.st1_f, self.st1_i = st1_f, st1_i
         self.st2_f, self.st2_i = st2_f, st2_i
+        self.mst1_f, self.mst1_i = mst1_f, mst1_i
+        self.mcorr_f, self.mcorr_i = mcorr_f, mcorr_i
 
 
 def _sub_dif(x, st, q, size):
@@ -155,6 +190,50 @@ def _sub_dif(x, st, q, size):
             parts.append(shoup_mul(sub_mod(lo, hi, q), w, wp, q))
         x = jnp.concatenate(parts, axis=-2)
         m >>= 1
+    return x
+
+
+def _sub_ct_merged(x, st, q, size):
+    """Merged-psi negacyclic sub-NTT along axis -2 (natural in,
+    bit-reversed out): Harvey/SEAL schedule with the twist folded into
+    the stage twiddles — st[_, m+i] = psi1^rev(m+i) Shoup pairs, one
+    CONSTANT twiddle per butterfly block. Requires reduced input
+    (u < q): the u+v butterfly has no reducing multiply on u."""
+    lead = x.shape[:-2]
+    lanes = x.shape[-1]
+    m, t = 1, size
+    while m < size:
+        t >>= 1
+        w = st[0, m:2 * m][..., None]    # [m, 1, 1]
+        wp = st[1, m:2 * m][..., None]
+        xr = x.reshape(lead + (m, 2 * t, lanes))
+        lo = xr[..., :t, :]
+        hi = shoup_mul(xr[..., t:, :], w, wp, q)
+        x = jnp.concatenate(
+            (add_mod(lo, hi, q), sub_mod(lo, hi, q)),
+            axis=-2).reshape(lead + (size, lanes))
+        m <<= 1
+    return x
+
+
+def _sub_gs_merged(x, st, q, size):
+    """Merged-psi^-1 negacyclic inverse along axis -2 (bit-rev in,
+    natural out), UNSCALED — the size^-1 factor lives in the caller's
+    correction table. st[_, m+i] = psi1^-rev(m+i) Shoup pairs."""
+    lead = x.shape[:-2]
+    lanes = x.shape[-1]
+    m, t = size >> 1, 1
+    while m >= 1:
+        w = st[0, m:2 * m][..., None]
+        wp = st[1, m:2 * m][..., None]
+        xr = x.reshape(lead + (m, 2 * t, lanes))
+        lo = xr[..., :t, :]
+        hi = xr[..., t:, :]
+        x = jnp.concatenate(
+            (add_mod(lo, hi, q), shoup_mul(sub_mod(lo, hi, q), w, wp, q)),
+            axis=-2).reshape(lead + (size, lanes))
+        m >>= 1
+        t <<= 1
     return x
 
 
@@ -177,13 +256,12 @@ def _sub_dit(x, st, q, size):
 
 
 def _fwd_kernel(n1, n2):
-    def kernel(x_ref, tw_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+    def kernel(x_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
         limb = pl.program_id(0)
         q = qs_ref[limb, 0]
         x = x_ref[:, 0]                                # [C, n1, n2]
-        x = shoup_mul(x, tw_ref[0, 0], tw_ref[0, 1], q)  # negacyclic twist
-        x = _sub_dif(x, st1_ref[0], q, n1)             # column DFT (k1)
-        x = shoup_mul(x, corr_ref[0, 0], corr_ref[0, 1], q)  # correction
+        x = _sub_ct_merged(x, st1_ref[0], q, n1)       # twist-merged k1 DFT
+        x = shoup_mul(x, corr_ref[0, 0], corr_ref[0, 1], q)  # corr * psi^c
         x = x.swapaxes(-1, -2)                         # [C, n2, n1]
         x = _sub_dif(x, st2_ref[0], q, n2)             # column DFT (k2)
         out_ref[:, 0] = x.swapaxes(-1, -2)             # bit-rev order
@@ -191,16 +269,16 @@ def _fwd_kernel(n1, n2):
 
 
 def _inv_kernel(n1, n2):
-    def kernel(x_ref, tw_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+    def kernel(x_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
         limb = pl.program_id(0)
         q = qs_ref[limb, 0]
         x = x_ref[:, 0]                                # [C, n1, n2] bit-rev
         x = x.swapaxes(-1, -2)                         # [C, n2, n1]
         x = _sub_dit(x, st2_ref[0], q, n2)             # inverse over k2
+        # corr_inv * psi^-c * N^-1
         x = shoup_mul(x, corr_ref[0, 0], corr_ref[0, 1], q)
         x = x.swapaxes(-1, -2)                         # [C, n1, n2]
-        x = _sub_dit(x, st1_ref[0], q, n1)             # inverse over k1
-        out_ref[:, 0] = shoup_mul(x, tw_ref[0, 0], tw_ref[0, 1], q)
+        out_ref[:, 0] = _sub_gs_merged(x, st1_ref[0], q, n1)  # untwist-merged
     return kernel
 
 
@@ -214,7 +292,7 @@ class PallasNTT:
         # Scalar params per limb: (q, nqinv).
         self.qs = np.stack([self.t.q, self.t.nqinv], axis=1)  # [n_sub, 2]
 
-    def _call(self, x, kernel_factory, tw, corr, st1, st2):
+    def _call(self, x, kernel_factory, corr, st1, st2):
         t = self.t
         n1, n2 = t.n1, t.n2
         lead = x.shape[:-1]
@@ -243,7 +321,6 @@ class PallasNTT:
             in_specs=[
                 pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
                              memory_space=pltpu.VMEM),
-                limb_first(tw.shape),
                 limb_first(corr.shape),
                 limb_first(st1.shape + (1,)),
                 limb_first(st2.shape + (1,)),
@@ -253,18 +330,17 @@ class PallasNTT:
             out_specs=pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, n_sub, n1, n2), jnp.uint32),
-        )(xr, tw, corr, st1[..., None], st2[..., None], self.qs)
+        )(xr, corr, st1[..., None], st2[..., None], self.qs)
         return out.reshape(*lead, self.n)
 
     def ntt(self, x):
+        """Requires REDUCED input planes (x < q per row)."""
         t = self.t
-        return self._call(x, _fwd_kernel, t.tw_fwd, t.corr_fwd,
-                          t.st1_f, t.st2_f)
+        return self._call(x, _fwd_kernel, t.mcorr_f, t.mst1_f, t.st2_f)
 
     def intt(self, x):
         t = self.t
-        return self._call(x, _inv_kernel, t.tw_inv, t.corr_inv,
-                          t.st1_i, t.st2_i)
+        return self._call(x, _inv_kernel, t.mcorr_i, t.mst1_i, t.st2_i)
 
 
 @lru_cache(maxsize=None)

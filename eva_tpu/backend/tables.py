@@ -50,14 +50,38 @@ class DeviceLevelOps:
                 ws[i], wp[i] = shoup_pair(w[i], q)
             return ws, wp
 
-        self.twist = stack_pairs([t.twist for t in tables])
-        self.untwist = stack_pairs([t.untwist for t in tables])
-        self.stage_w = [
-            stack_pairs([t.stage_w[s] for t in tables])
-            for s in range(self.logn)]
-        self.stage_w_inv = [
-            stack_pairs([t.stage_w_inv[s] for t in tables])
-            for s in range(self.logn)]
+        # Shoup pair of 1 (per row): reduce(a) = a mod q for any a<2^32.
+        self.one = stack_pairs([np.ones(1, dtype=np.uint64)
+                                for _ in primes])
+
+        # Harvey merged-psi tables: the negacyclic twist folds into the
+        # stage twiddles (mst_f[i] = psi^rev(i)); the inverse merges the
+        # untwist, with N^-1 folded into the LAST stage (lo branch gets
+        # a dedicated ninv multiply, hi branch's final twiddle is
+        # pre-scaled). Eliminates the separate twist/untwist passes.
+        from ..crypto.ntt import _bit_reverse_perm
+        rev = _bit_reverse_perm(n)
+        mf = np.empty((n_sub, n), dtype=np.uint64)
+        mi = np.empty((n_sub, n), dtype=np.uint64)
+        ninv_v = np.empty((n_sub, 1), dtype=np.uint64)
+        for i, q in enumerate(primes):
+            t = tables[i]
+            psi = t.psi
+            psi_inv = pow(psi, q - 2, q)
+            n_inv = pow(n, q - 2, q)
+            pw = np.ones(n, dtype=np.uint64)
+            for k in range(1, n):
+                pw[k] = pw[k - 1] * psi % q
+            mf[i] = pw[rev]
+            ipw = np.ones(n, dtype=np.uint64)
+            for k in range(1, n):
+                ipw[k] = ipw[k - 1] * psi_inv % q
+            mi[i] = ipw[rev]
+            mi[i, 1] = mi[i, 1] * n_inv % q  # last-stage hi twiddle
+            ninv_v[i, 0] = n_inv
+        self.mst_f = stack_pairs(list(mf))
+        self.mst_i = stack_pairs(list(mi))
+        self.ninv = stack_pairs(list(ninv_v))
 
     # -- elementwise --------------------------------------------------------
 
@@ -74,46 +98,61 @@ class DeviceLevelOps:
         """a (standard, may be unreduced) * b (Montgomery form)."""
         return mont_mul(a, b_mont, self.q, self.nqinv)
 
+    def reduce(self, a):
+        """a mod q (per row) for any a < 2^32: a Shoup multiply by 1."""
+        return shoup_mul(a, self.one[0], self.one[1], self.q)
+
     def mul(self, a, b):
         """Both operands standard-domain (ct-ct dyadic multiply)."""
         return self.mul_mont(self.mul_mont(a, b), self.r2)
 
     # -- NTT ----------------------------------------------------------------
 
-    def _dif_forward(self, x):
-        """Gentleman-Sande: natural in, bit-reversed out. No gathers."""
+    def _fwd_merged(self, x):
+        """Harvey merged-psi forward (natural in, bit-reversed out): the
+        negacyclic twist lives in the stage twiddles, one constant per
+        butterfly block. Requires reduced input. No gathers."""
         lead = x.shape[:-1]
         n = self.n
         q3 = self.q[:, None, :]
-        for s in range(self.logn, 0, -1):
-            m = 1 << s
-            half = m >> 1
-            ww, wp = self.stage_w[s - 1]         # [n_sub, half] Shoup pair
-            xr = x.reshape(*lead, n >> s, m)
-            lo = xr[..., :half]
-            hi = xr[..., half:]
-            x = jnp.concatenate(
-                (add_mod(lo, hi, q3),
-                 shoup_mul(sub_mod(lo, hi, q3), ww[:, None, :],
-                           wp[:, None, :], q3)),
-                axis=-1).reshape(*lead, n)
-        return x
-
-    def _dit_inverse(self, x):
-        """Cooley-Tukey: bit-reversed in, natural out. No gathers."""
-        lead = x.shape[:-1]
-        n = self.n
-        q3 = self.q[:, None, :]
-        for s in range(1, self.logn + 1):
-            m = 1 << s
-            half = m >> 1
-            ww, wp = self.stage_w_inv[s - 1]
-            xr = x.reshape(*lead, n >> s, m)
-            lo = xr[..., :half]
-            hi = shoup_mul(xr[..., half:], ww[:, None, :], wp[:, None, :], q3)
+        wsf, wpf = self.mst_f
+        m, t = 1, n
+        while m < n:
+            t >>= 1
+            ww = wsf[:, m:2 * m][:, :, None]
+            wp = wpf[:, m:2 * m][:, :, None]
+            xr = x.reshape(*lead, m, 2 * t)
+            lo = xr[..., :t]
+            hi = shoup_mul(xr[..., t:], ww, wp, q3)
             x = jnp.concatenate(
                 (add_mod(lo, hi, q3), sub_mod(lo, hi, q3)),
                 axis=-1).reshape(*lead, n)
+            m <<= 1
+        return x
+
+    def _inv_merged(self, x):
+        """Harvey merged-psi^-1 inverse (bit-reversed in, natural out)
+        with N^-1 folded into the last stage."""
+        lead = x.shape[:-1]
+        n = self.n
+        q3 = self.q[:, None, :]
+        wsi, wpi = self.mst_i
+        m, t = n >> 1, 1
+        while m >= 1:
+            ww = wsi[:, m:2 * m][:, :, None]
+            wp = wpi[:, m:2 * m][:, :, None]
+            xr = x.reshape(*lead, m, 2 * t)
+            lo = xr[..., :t]
+            hi = xr[..., t:]
+            s = add_mod(lo, hi, q3)
+            if m == 1:  # fold N^-1 into the final stage's lo branch
+                s = shoup_mul(s, self.ninv[0][:, :, None],
+                              self.ninv[1][:, :, None], q3)
+            x = jnp.concatenate(
+                (s, shoup_mul(sub_mod(lo, hi, q3), ww, wp, q3)),
+                axis=-1).reshape(*lead, n)
+            m >>= 1
+            t <<= 1
         return x
 
     def _pallas(self):
@@ -155,17 +194,17 @@ class DeviceLevelOps:
         return [p0, self.sub(self.sub(pm, p0), p2), p2]
 
     def ntt(self, a):
-        """Coefficient -> evaluation (bit-reversed order). Accepts unreduced
-        planes (the twist multiply performs the reduction)."""
+        """Coefficient -> evaluation (bit-reversed order). REQUIRES
+        reduced planes (a < q per row) — the merged-twist butterflies
+        have no reducing first pass; call `reduce()` first for raw
+        uint32 planes."""
         p = self._pallas()
         if p is not None:
             return p.ntt(a)
-        return self._dif_forward(
-            shoup_mul(a, self.twist[0], self.twist[1], self.q))
+        return self._fwd_merged(a)
 
     def intt(self, x):
         p = self._pallas()
         if p is not None:
             return p.intt(x)
-        return shoup_mul(self._dit_inverse(x),
-                         self.untwist[0], self.untwist[1], self.q)
+        return self._inv_merged(x)

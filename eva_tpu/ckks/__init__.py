@@ -16,7 +16,8 @@ from typing import Dict, Tuple
 from ..logging_util import DEBUG, INFO, log, verbosity_at_least, warn
 
 from ..ir import ENCODE_AT_SCALE, TYPE_ATTR, Program, TermMap, Type
-from ..passes import (ConstantFolder, ReductionCombiner, ReductionLogExpander,
+from ..passes import (BSGSRotationFactorizer, ConstantFolder,
+                      ReductionCombiner, ReductionLogExpander,
                       RotationKeysSelector, TypeDeducer)
 from ..traversal import ProgramTraversal
 from .checkers import (InconsistentParameters, LevelsChecker,
@@ -57,6 +58,8 @@ class CKKSCompiler:
         fwd(ConstantFolder(program, scales))
         if self.config.balance_reductions:
             fwd(ReductionCombiner(program))
+            if self.config.bsgs_rotations:
+                fwd(BSGSRotationFactorizer(program, types, scales))
             fwd(ReductionLogExpander(program, types))
         rescaler_cls = RESCALER_CLASSES[self.config.rescaler]
         fwd(rescaler_cls(program, types, scales))

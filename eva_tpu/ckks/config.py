@@ -13,7 +13,10 @@ OPTIONS_HELP_MESSAGE = (
     "quantum_safe       - Select quantum safe parameters. bool (default=false)\n"
     "warn_vec_size      - Warn about possibly inefficient vector size selection. bool (default=true)\n"
     "shard_vectors      - Shard vectors larger than the slot count across a ciphertext batch\n"
-    "                     instead of growing the ring (TPU-native extension). bool (default=true)"
+    "                     instead of growing the ring (TPU-native extension). bool (default=true)\n"
+    "bsgs_rotations     - Factor rotation-heavy sums baby-step/giant-step, cutting key switches\n"
+    "                     and rotation keys ~2x for convolutions (TPU-native extension; requires\n"
+    "                     balance_reductions). bool (default=true)"
 )
 
 RESCALERS = ("lazy_waterline", "eager_waterline", "always", "minimum")
@@ -37,6 +40,7 @@ class CKKSConfig:
         self.quantum_safe = False
         self.warn_vec_size = True
         self.shard_vectors = True
+        self.bsgs_rotations = True
         if config:
             for key, value in config.items():
                 if key == "balance_reductions":
@@ -56,6 +60,8 @@ class CKKSConfig:
                     self.warn_vec_size = _parse_bool(key, value)
                 elif key == "shard_vectors":
                     self.shard_vectors = _parse_bool(key, value)
+                elif key == "bsgs_rotations":
+                    self.bsgs_rotations = _parse_bool(key, value)
                 else:
                     print(
                         f"WARNING: Unknown option {key}. Available options are:\n"
@@ -69,4 +75,5 @@ class CKKSConfig:
             f"security_level = {self.security_level}\n"
             f"quantum_safe = {str(self.quantum_safe).lower()}\n"
             f"warn_vec_size = {str(self.warn_vec_size).lower()}\n"
+            f"bsgs_rotations = {str(self.bsgs_rotations).lower()}\n"
             f"shard_vectors = {str(self.shard_vectors).lower()}")

@@ -190,6 +190,167 @@ class ReductionLogExpander:
             term.set_operands(operands)
 
 
+class BSGSRotationFactorizer:
+    """Baby-step/giant-step factorization of rotation-heavy sums — a
+    TPU-build extension with no reference counterpart (the reference
+    executes every rotation of a convolution separately;
+    examples/image_processing.py:36-100 is the motivating workload).
+
+    An n-ary Add of the form  sum_i rot(x, r_i) * w_i  (w_i compile-time
+    constants, or absent) with r_i = g + b factorable over a stride s is
+    rewritten as
+
+        sum_g rot( sum_b rot(x, b) * rot(w_{g,b}, -g), g )
+
+    using sigma_g(u * v) = sigma_g(u) * sigma_g(v): the baby rotations
+    rot(x, b) are shared across ALL sums over the same source (cached
+    per pass), so a KxK convolution needs K-1 baby + K-1 giant key
+    switches instead of K^2-1, and the rotation-key set shrinks the same
+    way. Runs between ReductionCombiner (which forms the n-ary sums) and
+    ReductionLogExpander (which re-balances the rewritten sums).
+    Plaintext semantics are preserved exactly (cyclic rotations commute
+    with elementwise products); the compile-vs-source MSE oracle and the
+    HE round-trip tests cover it. Gated by config bsgs_rotations."""
+
+    MIN_ROTATIONS = 4  # below this the rewrite cannot win
+
+    def __init__(self, program: Program, types: TermMap, scales: TermMap):
+        self.program = program
+        self.types = types
+        self.scales = scales
+        self._baby_cache: Dict[tuple, Term] = {}
+        self._const_cache: Dict[tuple, Term] = {}
+
+    # -- pattern matching -----------------------------------------------
+
+    def _parse(self, opd: Term):
+        """(source, r, w_term|None) when opd is rot(x,r)*w, w*rot(x,r),
+        or a bare rot(x,r) with x Cipher; else None."""
+        vec = self.program.vec_size
+
+        def rot_of(t):
+            if t.op not in (Op.RotateLeftConst, Op.RotateRightConst):
+                return None
+            if self.types[t] != Type.Cipher:
+                return None
+            r = t.get_attr(ROTATION)
+            if t.op == Op.RotateRightConst:
+                r = -r
+            return (t.operands[0], r % vec)
+
+        if opd.op in (Op.RotateLeftConst, Op.RotateRightConst):
+            hit = rot_of(opd)
+            return None if hit is None else (hit[0], hit[1], None)
+        if opd.op == Op.Mul and len(opd.operands) == 2:
+            a, b = opd.operands
+            for rot_side, w_side in ((a, b), (b, a)):
+                if w_side.op != Op.Constant:
+                    continue
+                hit = rot_of(rot_side)
+                if hit is not None:
+                    return (hit[0], hit[1], w_side)
+        return None
+
+    @staticmethod
+    def _plan(rotations):
+        """Best (stride, cost) over candidate strides; cost = number of
+        key switches after the rewrite."""
+        rs = sorted(set(rotations))
+        base_cost = len([r for r in rs if r != 0])
+        cands = set(r for r in rs if r > 1)
+        cands.update(b - a for a, b in zip(rs, rs[1:]) if b - a > 1)
+        best = (None, base_cost)
+        for s in cands:
+            babies = {r % s for r in rs}
+            giants = {r - r % s for r in rs}
+            cost = (len(babies - {0}) + len(giants - {0}))
+            if cost < best[1]:
+                best = (s, cost)
+        return best
+
+    # -- rewrite helpers --------------------------------------------------
+
+    def _baby(self, src: Term, b: int) -> Term:
+        if b == 0:
+            return src
+        key = (src.index, b)
+        if key not in self._baby_cache:
+            rot = self.program.make_left_rotation(src, b)
+            self.types[rot] = self.types[src]
+            self._baby_cache[key] = rot
+        return self._baby_cache[key]
+
+    def _rotated_constant(self, w: Term, g: int) -> Term:
+        if g == 0:
+            return w
+        key = (w.index, g)
+        if key not in self._const_cache:
+            vals = w.get_attr(CONSTANT_VALUE).expand(self.program.vec_size)
+            # sigma_g(sigma_-g(w)) = w: w'[j] = w[(j - g) mod vec].
+            c = self.program.make_dense_constant(_cyclic_shift(vals, -g))
+            scale = w.get_attr(ENCODE_AT_SCALE)
+            if scale is not None:
+                c.set_attr(ENCODE_AT_SCALE, scale)
+                self.scales[c] = scale
+            self.types[c] = Type.Raw
+            self._const_cache[key] = c
+        return self._const_cache[key]
+
+    def __call__(self, term: Term) -> None:
+        if term.op != Op.Add or len(term.operands) <= self.MIN_ROTATIONS:
+            return
+        entries = []  # (position, source, r, w)
+        by_src: Dict[int, int] = {}
+        for pos, opd in enumerate(term.operands):
+            hit = self._parse(opd)
+            if hit is not None:
+                entries.append((pos,) + hit)
+                by_src[hit[0].index] = by_src.get(hit[0].index, 0) + 1
+        if not entries:
+            return
+        src_idx = max(by_src, key=by_src.get)
+        chosen = [e for e in entries if e[1].index == src_idx]
+        rotations = [r for _, _, r, _ in chosen]
+        if len(set(rotations)) < self.MIN_ROTATIONS:
+            return
+        s, cost = self._plan(rotations)
+        if s is None:
+            return
+
+        src = chosen[0][1]
+        taken = {pos for pos, _, _, _ in chosen}
+        by_g: Dict[int, list] = {}
+        for _, _, r, w in chosen:
+            b = r % s
+            by_g.setdefault(r - b, []).append((b, w))
+
+        new_operands = [o for pos, o in enumerate(term.operands)
+                        if pos not in taken]
+        for g in sorted(by_g):
+            parts = []
+            for b, w in by_g[g]:
+                base = self._baby(src, b)
+                if w is None:
+                    parts.append(base)
+                else:
+                    m = self.program.make_term(
+                        Op.Mul, [base, self._rotated_constant(w, g)])
+                    self.types[m] = Type.Cipher
+                    parts.append(m)
+            if len(parts) == 1:
+                inner = parts[0]
+            else:
+                inner = self.program.make_term(Op.Add, parts)
+                self.types[inner] = Type.Cipher
+            if g:
+                outer = self.program.make_left_rotation(inner, g)
+                self.types[outer] = Type.Cipher
+            else:
+                outer = inner
+            new_operands.append(outer)
+        term.set_operands(new_operands)
+
+
 class RotationKeysSelector:
     """Forward pass collecting the distinct rotation steps used by
     Cipher-typed rotations (right rotations negated).

@@ -292,3 +292,74 @@ class TestStd:
         prog.set_output_ranges(25)
         prog.set_input_scales(33)
         compile_and_check(prog, he=False)
+
+
+class TestBSGSRotations:
+    """BSGSRotationFactorizer (eva_tpu/passes.py): a TPU-build extension
+    factoring rotation-heavy sums baby-step/giant-step. Motivating
+    workload: the convolutions in reference examples/image_processing.py."""
+
+    def _conv_program(self, taps, weights=None, vec_size=64):
+        from eva_tpu import EvaProgram, Input, Output
+        prog = EvaProgram("conv", vec_size=vec_size)
+        with prog:
+            x = Input("x")
+            acc = None
+            for i, t in enumerate(taps):
+                term = x << t
+                if weights is not None:
+                    term = term * weights[i]
+                acc = term if acc is None else acc + term
+            Output("y", acc)
+        prog.set_input_scales(30)
+        prog.set_output_ranges(20)
+        return prog
+
+    def test_grid_rotations_factor(self):
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        random.seed(5)
+        taps = [g + b for g in (0, 8, 16) for b in (0, 1, 2)]
+        weights = [0.25 * i - 1.0 for i in range(9)]
+        prog = self._conv_program(taps, weights)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(64)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert sorted(params.rotations) == [1, 2, 8, 16]
+        assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
+
+    def test_opt_out_keeps_all_rotations(self):
+        from eva_tpu.ckks import CKKSCompiler
+        taps = [g + b for g in (0, 8, 16) for b in (0, 1, 2)]
+        prog = self._conv_program(taps, [1.0] * 9)
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false",
+             "bsgs_rotations": "false"}).compile(prog)
+        assert sorted(params.rotations) == [0, 1, 2, 8, 9, 10, 16, 17, 18]
+
+    def test_unweighted_and_negative_rotations(self):
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        random.seed(6)
+        # bare rotations (no weights), including a negative step
+        taps = [0, 1, 2, -8, -7, -6]
+        prog = self._conv_program(taps)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(64)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert len(params.rotations) <= 4
+        assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
+
+    def test_he_roundtrip_with_bsgs(self):
+        import random
+        from helpers import compile_and_check
+        random.seed(7)
+        taps = [g + b for g in (0, 8, 16, 24) for b in (0, 1, 2, 3)]
+        weights = [0.1 * (i % 5) - 0.2 for i in range(16)]
+        compile_and_check(self._conv_program(taps, weights))

@@ -49,13 +49,17 @@ class TestDeviceKernels:
         got_i = np.asarray(jax.jit(dev.intt)(jnp.asarray(got)))
         assert np.array_equal(got_i.astype(np.uint64), ref_i)
 
-    def test_ntt_reduces_unreduced_input(self, dev):
+    def test_reduce_then_ntt_handles_unreduced_input(self, dev):
+        """The merged-twist NTT requires reduced planes; reduce() (a
+        Shoup multiply by 1) is the explicit contract for raw uint32
+        input, exact for any a < 2^32."""
         a = _rand_planes(3)
         big = (a.astype(np.uint64) + np.uint64(2 ** 31)).astype(np.uint32)
         ref = np.stack([
             get_table(q, N).ntt(big[i].astype(np.uint64) % np.uint64(q))
             for i, q in enumerate(PRIMES)])
-        got = np.asarray(jax.jit(dev.ntt)(jnp.asarray(big)))
+        got = np.asarray(jax.jit(lambda x: dev.ntt(dev.reduce(x)))(
+            jnp.asarray(big)))
         assert np.array_equal(got.astype(np.uint64), ref)
 
 
