@@ -18,7 +18,7 @@ from ..logging_util import DEBUG, INFO, log, verbosity_at_least, warn
 from ..ir import ENCODE_AT_SCALE, TYPE_ATTR, Program, TermMap, Type
 from ..passes import (BSGSRotationFactorizer, ConstantFolder,
                       ReductionCombiner, ReductionLogExpander,
-                      RotationKeysSelector, TypeDeducer)
+                      RotationKeysSelector, RotationNormalizer, TypeDeducer)
 from ..traversal import ProgramTraversal
 from .checkers import (InconsistentParameters, LevelsChecker,
                        ParameterChecker, ScalesChecker)
@@ -55,6 +55,7 @@ class CKKSCompiler:
             rewrite.forward_pass(p)
 
         fwd(TypeDeducer(program, types))
+        fwd(RotationNormalizer(program, types))
         fwd(ConstantFolder(program, scales))
         if self.config.balance_reductions:
             fwd(ReductionCombiner(program))

@@ -190,6 +190,36 @@ class ReductionLogExpander:
             term.set_operands(operands)
 
 
+class RotationNormalizer:
+    """Canonicalize rotations: every RotateLeft/RightConst becomes a
+    RotateLeftConst with steps in [0, vec_size), and zero-step rotations
+    collapse to their operand. Rotations are cyclic on vec_size (the
+    reference replicates vectors to the slot count, so ring rotations by
+    r and r mod vec_size act identically on every backend —
+    reference seal.cpp:71-79 replication + reference_executor.cpp cyclic
+    semantics), hence r>>1 and r<<(vec-1) need ONE Galois key, not two,
+    and identity rotations need none. TPU-build extension (the
+    reference's RotationKeysSelector collects raw steps)."""
+
+    def __init__(self, program: Program, types: TermMap):
+        self.program = program
+        self.types = types
+
+    def __call__(self, term: Term) -> None:
+        if term.op not in (Op.RotateLeftConst, Op.RotateRightConst):
+            return
+        r = term.get_attr(ROTATION)
+        if term.op == Op.RotateRightConst:
+            r = -r
+        r %= self.program.vec_size
+        if r == 0:
+            term.replace_all_uses_with(term.operands[0])
+        elif term.op == Op.RotateRightConst or r != term.get_attr(ROTATION):
+            rot = self.program.make_left_rotation(term.operands[0], r)
+            self.types[rot] = self.types[term]
+            term.replace_all_uses_with(rot)
+
+
 class BSGSRotationFactorizer:
     """Baby-step/giant-step factorization of rotation-heavy sums — a
     TPU-build extension with no reference counterpart (the reference

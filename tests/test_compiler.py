@@ -338,7 +338,8 @@ class TestBSGSRotations:
         _, params, _ = CKKSCompiler(
             {"warn_vec_size": "false",
              "bsgs_rotations": "false"}).compile(prog)
-        assert sorted(params.rotations) == [0, 1, 2, 8, 9, 10, 16, 17, 18]
+        # RotationNormalizer still drops the zero-step rotation's key.
+        assert sorted(params.rotations) == [1, 2, 8, 9, 10, 16, 17, 18]
 
     def test_unweighted_and_negative_rotations(self):
         import random
@@ -363,3 +364,26 @@ class TestBSGSRotations:
         taps = [g + b for g in (0, 8, 16, 24) for b in (0, 1, 2, 3)]
         weights = [0.1 * (i % 5) - 0.2 for i in range(16)]
         compile_and_check(self._conv_program(taps, weights))
+
+
+class TestRotationNormalizer:
+    def test_equivalent_rotations_share_one_key(self):
+        """r>>1 and r<<(vec-1) are the same cyclic rotation; zero-step
+        rotations need no key at all (RotationNormalizer)."""
+        import random
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        random.seed(8)
+        prog = EvaProgram("norm", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", (x >> 1) + (x << 15) + (x << 0) + (x << 16) + x * 2)
+        prog.set_input_scales(30)
+        prog.set_output_ranges(20)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert sorted(params.rotations) == [15]
+        assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
