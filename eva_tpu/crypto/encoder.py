@@ -61,16 +61,21 @@ class Encoder:
         mant, exp = np.frexp(m)
         mant_i = np.rint(mant * (1 << 53)).astype(np.int64)
         shift = (exp - 53).astype(np.int64)  # value = mant_i * 2^shift
+        smin, smax = int(shift.min()), int(shift.max())
+        sidx = (shift - smin).astype(np.int64)
         out = np.empty((len(primes), self.n), dtype=np.uint64)
-        uniq = np.unique(shift)
         for qi, q in enumerate(primes):
+            # 2^s mod q for every occurring shift, one table lookup per
+            # coefficient; products fit uint64 (both factors < 2^31).
+            inv2 = (q + 1) // 2  # 2^-1 mod q (q odd)
+            base = pow(2, smin, q) if smin >= 0 else pow(inv2, -smin, q)
+            tab = np.empty(smax - smin + 1, dtype=np.uint64)
+            acc = base
+            for s in range(smax - smin + 1):
+                tab[s] = acc
+                acc = acc * 2 % q
             res = (mant_i % q).astype(np.uint64)
-            for s in uniq:
-                s = int(s)
-                mult = pow(2, s, q) if s >= 0 else pow(pow(2, -s, q), q - 2, q)
-                mask = shift == s
-                res[mask] = (res[mask] * np.uint64(mult)) % np.uint64(q)
-            out[qi] = res
+            out[qi] = res * tab[sidx] % np.uint64(q)
         return out
 
     def residues_to_coeffs(self, residues: np.ndarray, primes: List[int]) -> np.ndarray:
@@ -85,6 +90,19 @@ class Encoder:
         of the (small) centered value — never a catastrophic cancellation
         of two ~Q-sized floats."""
         n_sub = len(primes)
+        lib = _garner_lib() if n_sub <= 64 else None
+        if lib is not None:
+            from ..native import as_u64p
+            import ctypes
+            prim_arr, inv_arr, invs_arr, half_arr = _garner_tables(
+                tuple(primes))
+            res = np.ascontiguousarray(residues, dtype=np.uint64)
+            out = np.empty(self.n, dtype=np.float64)
+            lib.garner_decode(
+                as_u64p(res), n_sub, self.n, as_u64p(prim_arr),
+                as_u64p(inv_arr), as_u64p(invs_arr), as_u64p(half_arr),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+            return out
         qs = [np.uint64(q) for q in primes]
         # Garner digits: v_i = (...((r_i - v_0) q_0^-1 - v_1) q_1^-1 ...)
         # mod q_i; x = v_0 + v_1 q_0 + v_2 q_0 q_1 + ...
@@ -141,6 +159,43 @@ class Encoder:
             mag_low = mag_low * qf + digits[i].astype(np.float64)
             mag_high = mag_high * qf + w[i].astype(np.float64)
         return np.where(high, -mag_high, mag_low)
+
+
+def _garner_lib():
+    """The native library when it exposes garner_decode, else None."""
+    try:
+        from ..native import get_lib
+        lib = get_lib()
+        return lib if lib is not None and hasattr(lib, "garner_decode") \
+            else None
+    except Exception:
+        return None
+
+
+@lru_cache(maxsize=None)
+def _garner_tables(primes):
+    """(primes, inv, inv_shoup, half_digits) uint64 arrays for
+    garner_decode. inv[i*n+j] = (q_j mod q_i)^-1 mod q_i (with 64-bit
+    Shoup constants); half_digits = mixed-radix digits of floor(Q/2)."""
+    n_sub = len(primes)
+    prim = np.array(primes, dtype=np.uint64)
+    inv = np.zeros((n_sub, n_sub), dtype=np.uint64)
+    inv_shoup = np.zeros((n_sub, n_sub), dtype=np.uint64)
+    for i in range(1, n_sub):
+        for j in range(i):
+            w = pow(primes[j] % primes[i], -1, primes[i])
+            inv[i, j] = w
+            inv_shoup[i, j] = (w << 64) // primes[i]
+    Q = 1
+    for q in primes:
+        Q *= q
+    t_half = Q // 2
+    half = np.empty(n_sub, dtype=np.uint64)
+    for i, q in enumerate(primes):
+        half[i] = t_half % q
+        t_half //= q
+    return (prim, np.ascontiguousarray(inv),
+            np.ascontiguousarray(inv_shoup), half)
 
 
 @lru_cache(maxsize=None)

@@ -28,9 +28,12 @@ def _build() -> Optional[str]:
     try:
         fd, tmp = tempfile.mkstemp(suffix=".so", dir=_DIR)
         os.close(fd)
+        # -ffp-contract=off: no FMA contraction, so float64 folds (the
+        # Garner decode Horner loop) are bit-identical to numpy's
+        # separate multiply and add.
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-             "-o", tmp, _SRC],
+            ["g++", "-O3", "-march=native", "-ffp-contract=off",
+             "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True)
         os.replace(tmp, _LIB_PATH)
         return _LIB_PATH
@@ -74,6 +77,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         "dyadic_sub": [u64p, u64p, u64p, ctypes.c_long, ctypes.c_uint64],
         "divide_round": [u64p, u64p, u64p, ctypes.c_long, ctypes.c_uint64,
                          ctypes.c_uint64, ctypes.c_uint64],
+        "garner_decode": [u64p, ctypes.c_long, ctypes.c_long, u64p, u64p,
+                          u64p, u64p, ctypes.POINTER(ctypes.c_double)],
     }.items():
         fn = getattr(lib, name)
         fn.argtypes = args

@@ -113,6 +113,69 @@ void dyadic_sub(const u64* a, const u64* b, u64* out, long len, u64 q) {
     for (long i = 0; i < len; ++i) out[i] = submod(a[i], b[i], q);
 }
 
+// Garner mixed-radix CRT decode (crypto/encoder.residues_to_coeffs):
+// residues [n_sub, n] -> centered float64 coefficients. The Python
+// caller supplies inv[i*n_sub+j] = q_j^-1 mod q_i and the mixed-radix
+// digits of floor(Q/2) (half_digits). Per coefficient: compute the
+// Garner digits v_i exactly, decide the sign by lexicographic compare
+// against half_digits (most-significant first), negate digit-wise for
+// high values (digits of Q - x), then Horner-fold to float64 so the
+// result carries the top 53 bits of the SMALL centered value.
+void garner_decode(const u64* residues, long n_sub, long n,
+                   const u64* primes, const u64* inv, const u64* inv_shoup,
+                   const u64* half_digits, double* out) {
+    // Per-coefficient scratch on the stack (n_sub is small, <= 64).
+    // All reductions — the input row (like the numpy path, unreduced
+    // inputs are accepted) and the cross-prime digits (v_j can exceed
+    // q_i by a large factor: sub-primes range ~2^20..2^31) — go through
+    // a Shoup multiply by 1, so the hot loop has no hardware division.
+    u64 v[64];
+    u64 one_shoup[64];
+    for (long i = 0; i < n_sub; ++i)
+        one_shoup[i] = static_cast<u64>(
+            (static_cast<u128>(1) << 64) / primes[i]);
+    for (long k = 0; k < n; ++k) {
+        for (long i = 0; i < n_sub; ++i) {
+            u64 q = primes[i];
+            u64 t = mulmod_shoup(residues[i * n + k], 1, one_shoup[i], q);
+            for (long j = 0; j < i; ++j) {
+                u64 vj = mulmod_shoup(v[j], 1, one_shoup[i], q);
+                t = mulmod_shoup(submod(t, vj, q), inv[i * n_sub + j],
+                                 inv_shoup[i * n_sub + j], q);
+            }
+            v[i] = t;
+        }
+        // Sign: x >= floor(Q/2) iff digits > half_digits lexicographically
+        // (most significant digit last in v; compare from the top).
+        bool high = true;  // equality -> high (matches numpy path)
+        for (long i = n_sub - 1; i >= 0; --i) {
+            if (v[i] != half_digits[i]) {
+                high = v[i] > half_digits[i];
+                break;
+            }
+        }
+        double mag = 0.0;
+        if (high) {
+            // digits of Q - x: w_i = (q_i - 1) - v_i, then +1 with carry.
+            u64 carry = 1;
+            for (long i = 0; i < n_sub; ++i) {
+                u64 s = (primes[i] - 1) - v[i] + carry;
+                carry = (s == primes[i]) ? 1 : 0;
+                v[i] = carry ? 0 : s;
+            }
+            for (long i = n_sub - 1; i >= 0; --i)
+                mag = mag * static_cast<double>(primes[i])
+                      + static_cast<double>(v[i]);
+            out[k] = -mag;
+        } else {
+            for (long i = n_sub - 1; i >= 0; --i)
+                mag = mag * static_cast<double>(primes[i])
+                      + static_cast<double>(v[i]);
+            out[k] = mag;
+        }
+    }
+}
+
 // Rescale helper: out_i = (x_i - centered) * p_inv mod q, with
 // centered = lift > p/2 ? lift - p : lift  (lift is the dropped limb).
 void divide_round(const u64* x, const u64* lift, u64* out, long len,
