@@ -99,6 +99,34 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
         per = _slope_time(fn, x, red)
         achieved = nbytes / per
         results.append((name, per / batch * 1e6, achieved, achieved / hbm))
+
+    # The dominant op: a full Galois rotation (automorphism + hybrid
+    # key switch + P-division). Bytes: 2 poly reads + 2 writes + the
+    # key planes streamed once per digit group.
+    from .backend.executor_jax import JaxProgram, device_keys
+    from .crypto import keys as K
+    from .crypto.context import get_context
+    ctx = get_context(tuple([60] * n_entries + [60]), (1,), n)
+    keys = K.generate_keys(ctx)
+    shim = JaxProgram.__new__(JaxProgram)
+    shim.ctx, shim.keys, shim.k = ctx, keys, 1
+    shim.dkeys = device_keys(ctx, keys)
+    rot_batch = 8
+    xr = planes(2)[:rot_batch]
+    n_ext = n_sub + len(ctx.key_primes)
+    n_groups = (n_sub + keys.ks_alpha - 1) // keys.ks_alpha
+    key_bytes = 2 * n_groups * n_ext * n * 4
+    rot_bytes = rot_batch * 4 * n_sub * n * 4 + key_bytes
+
+    @jax.jit
+    def rot(p):
+        out = shim._rotate([p, p], 1, 0, dev, None, None)
+        return dev.add(out[0], out[1])
+
+    per = _slope_time(rot, xr, red)
+    achieved = rot_bytes / per
+    results.append(("rotation (full KS)", per / rot_batch * 1e6,
+                    achieved, achieved / hbm))
     return results, hbm
 
 
