@@ -139,9 +139,12 @@ def Output(name: str, expr) -> None:
 
 
 def set_num_threads(num_threads: int) -> None:
-    """Compatibility no-op: parallelism is managed by XLA/JAX device
-    scheduling rather than a host thread pool (reference used Galois;
-    wrapper.cpp:128-137)."""
+    """Cap the host-side thread pool used for parallel input encryption
+    (runtime/EVAPublic.encrypt; the native NTT releases the GIL).
+    Device-side parallelism is managed by XLA/JAX scheduling and is not
+    affected. Reference: wrapper.cpp:128-137 (Galois thread count)."""
+    from . import runtime
+    runtime.HOST_THREADS = max(1, int(num_threads))
 
 
 def save(obj, path: str) -> None:

@@ -22,6 +22,9 @@ from .executor import Executor
 
 __all__ = ["generate_keys", "EVAPublic", "EVASecret", "EVAValuation"]
 
+# Host-side encryption thread-pool cap; eva_tpu.set_num_threads sets it.
+HOST_THREADS = 8
+
 
 class EVAValuation(dict):
     """Named bundle of encrypted/plain/raw values plus its parameters."""
@@ -73,9 +76,10 @@ class EVAPublic:
 
         out = EVAValuation(self.params)
         items = list(inputs.items())
-        if len(items) >= 4:
+        if len(items) >= 4 and HOST_THREADS > 1:
             from concurrent.futures import ThreadPoolExecutor
-            with ThreadPoolExecutor(max_workers=min(8, len(items))) as pool:
+            with ThreadPoolExecutor(
+                    max_workers=min(HOST_THREADS, len(items))) as pool:
                 for name, value in pool.map(prepare, items):
                     out[name] = value
         else:
