@@ -16,6 +16,7 @@ tensor shape is static and one jit compilation covers the program."""
 
 from __future__ import annotations
 
+from collections import OrderedDict
 from functools import lru_cache
 from typing import Dict, List, Tuple
 
@@ -233,17 +234,6 @@ class StructDigits:
         self.b = b
         self.n_groups = n_groups
 
-    def permute(self, aperm: "DevPerm"):
-        """Apply a Galois automorphism (NTT-domain permutation) to every
-        row. Digit decomposition commutes with automorphisms
-        coefficient-wise, so hoisted rotations permute the shared digit
-        NTTs instead of re-decomposing."""
-        return StructDigits(
-            aperm(self.own),
-            None if self.a is None else aperm(self.a),
-            aperm(self.b),
-            self.n_groups)
-
     def shard_window(self, shift: int, lo: int, hi: int):
         """Roll the SHARD axis (big-vector ciphertexts; crypto/bigvec) by
         -shift and keep shards [lo, hi): selects the digit stacks of the
@@ -302,6 +292,30 @@ class DeviceKeys:
                 self._cache[key] = (ksk, self._build_layout(ksk, level))
         return self._cache[key][1]
 
+    def layout_rot(self, ksk: K.KSwitchKey, level: int, g: int):
+        """Structured layout with every row INVERSE-permuted by the
+        Galois element g's NTT-domain permutation.
+
+        Hoisted rotations MAC the shared (unpermuted) digit stack against
+        this layout and apply the automorphism once to the two OUTPUT
+        polynomials instead of to every digit row:
+        sum_j sigma(D_j)*k_j = sigma(sum_j D_j * sigma^-1(k_j)), and the
+        P-division epilogue commutes with sigma exactly (the centered
+        divide-and-round is an odd function per coefficient — key primes
+        are odd so ties cannot occur — and sigma is a signed coefficient
+        permutation). Permute work per hoisted rotation drops from
+        ~n_groups*n_ext digit rows to 2*n_cur output rows; values are
+        bit-identical."""
+        key = ("rot", id(ksk), level, g)
+        if key not in self._cache:
+            p = self.ctx.perm_for_elt(g)
+            inv = np.empty_like(p)
+            inv[p] = np.arange(p.shape[0], dtype=p.dtype)
+            with jax.ensure_compile_time_eval():
+                self._cache[key] = (
+                    ksk, self._build_layout(ksk, level, col_perm=inv))
+        return self._cache[key][1]
+
     def dense_layout(self, ksk: K.KSwitchKey, level: int):
         """((k0, k1)) as dense [n_groups, n_ext, N] Montgomery planes in
         digit order — the layout the fused Pallas key-switch streams."""
@@ -316,7 +330,15 @@ class DeviceKeys:
         axis zero-padded to a multiple of n_dev — the layout the
         digit-parallel (mesh-sharded) key switch shards over the "limb"
         mesh axis. Padding digits are zero key rows: they contribute
-        exact zeros to the modular psum."""
+        exact zeros to the modular psum.
+
+        NOT inverse-permuted (unlike layout_rot): the dp non-hoisted
+        rotation decomposes the PERMUTED polynomial, and decomposing
+        sigma(c1) is not value-identical to permuting the digits of c1 —
+        the fast-base-extension representative's e*Qg term is built from
+        standard (non-centered) residues, which do not negate
+        symmetrically — so permuted keys would break bit-parity with the
+        single-device path."""
         key = ("dp", id(ksk), level, n_dev)
         if key not in self._cache:
             with jax.ensure_compile_time_eval():
@@ -364,7 +386,7 @@ class DeviceKeys:
 
         return (build(ksk.k0), build(ksk.k1))
 
-    def _build_layout(self, ksk: K.KSwitchKey, level: int):
+    def _build_layout(self, ksk: K.KSwitchKey, level: int, col_perm=None):
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
         n_cur = len(primes)
@@ -384,6 +406,10 @@ class DeviceKeys:
             for j in range(n_groups):
                 for kk in range(n_key):
                     b[j, kk] = klist[j][n_data_all + kk]
+            if col_perm is not None:
+                own = own[..., col_perm]
+                a = a[..., col_perm]
+                b = b[..., col_perm]
             own_m = jnp.asarray(_to_mont_rows(own, primes))
             a_m = (jnp.asarray(np.stack(
                 [_to_mont_rows(a[k], primes)
@@ -441,6 +467,27 @@ class JaxProgram:
         self._dp = None  # digit-parallel context (set during dp traces)
         self._jitted = jax.jit(self._traced)
         self._sharded_cache: Dict[int, object] = {}
+        # Device-upload cache: program constants (encode-cache Plaintexts)
+        # and re-executed input Ciphertexts are uploaded once, not per
+        # run() — on the TPU tunnel each host->device transfer is a real
+        # per-execute cost. Keyed by object id; values pin the host
+        # object so ids cannot be reused while an entry is alive.
+        # Bounded FIFO so arbitrary fresh ciphertexts cannot grow it.
+        self._upload_cache: "OrderedDict[int, tuple]" = OrderedDict()
+        self._upload_cache_cap = 256
+
+    def _upload(self, host_obj, planes_fn):
+        """Cache jnp device copies of a host Plaintext/Ciphertext."""
+        key = id(host_obj)
+        hit = self._upload_cache.get(key)
+        if hit is not None and hit[0] is host_obj:
+            self._upload_cache.move_to_end(key)
+            return hit[1]
+        dev = planes_fn(host_obj)
+        self._upload_cache[key] = (host_obj, dev)
+        while len(self._upload_cache) > self._upload_cache_cap:
+            self._upload_cache.popitem(last=False)
+        return dev
 
     # -- digit-parallel (mesh) execution --------------------------------------
 
@@ -511,7 +558,9 @@ class JaxProgram:
         add_mod — a raw integer psum would wrap mod 2^32, not mod q), and
         the ~20x-cheaper P-division tail runs replicated. Bit-identical
         to the single-device path: modular sums are exact and
-        order-independent."""
+        order-independent. `perm` permutes the local digit shard (hoisted
+        rotations; the shard axis is the digit axis, so the N-axis
+        permutation is device-local)."""
         from ..parallel.ks_shard import _modular_all_reduce
         ctx = self.ctx
         dp = self._dp
@@ -726,25 +775,21 @@ class JaxProgram:
         return StructDigits(own, a_ntt, b_ntt, n_groups)
 
     def _ks_apply(self, digits: "StructDigits", level: int, layout,
-                  perm=None, coeff_out=False):
-        """Inner product of (optionally permuted) structured digits with a
-        key-switch key in the matching layout, followed by division by
-        the special modulus P. No digit-stack gathers or concatenations:
-        the sum over digits j of d[j,i]*k[j,i] is regrouped into own +
-        foreign + key row products against pre-rearranged key planes.
+                  coeff_out=False):
+        """Inner product of structured digits with a key-switch key in
+        the matching layout, followed by division by the special modulus
+        P. No digit-stack gathers or concatenations: the sum over digits
+        j of d[j,i]*k[j,i] is regrouped into own + foreign + key row
+        products against pre-rearranged key planes.
 
-        `perm` applies a Galois automorphism in the NTT domain. Digit
-        decomposition commutes with automorphisms coefficient-wise
-        (D_j(sigma(x)) = sigma(D_j(x)), residues mod q_j are permuted with
-        sign exactly like coefficients), so hoisted rotations permute the
-        shared digit NTTs instead of re-decomposing."""
+        Hoisted rotations pass an INVERSE-permuted key layout
+        (DeviceKeys.layout_rot) and apply the automorphism to the two
+        outputs — see layout_rot for the commutation argument."""
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
         dev = self._ops_at(level)
         key_ops = level_ops(list(ctx.key_primes), ctx.n)
         ext = self._ext_ops_at(level)
-        if perm is not None:
-            digits = digits.permute(perm)
 
         def tree_sum(ops, t):
             while t.shape[-3] > 1:
@@ -1091,13 +1136,18 @@ class JaxProgram:
         """Galois rotation.
 
         Sources rotated >=2 times use hoisting: the digit decomposition of
-        c1 is computed once and PERMUTED per rotation. Single rotations
-        permute c1 FIRST and decompose the permuted polynomial: gathers
-        are among the most expensive TPU ops, and permuting the 2 input
-        rows costs ~(n_digits*n_ext)/n_cur times less than permuting the
-        digit stack. The hoist/permute-first decision depends only on the
-        program (rotation counts per source), so the numpy backend makes
-        the identical choice and results stay bit-identical."""
+        c1 is computed once and shared across rotations; each rotation
+        MACs it against the INVERSE-permuted key (DeviceKeys.layout_rot)
+        and permutes only the two output polynomials — 2*n_cur rows
+        instead of the ~n_groups*n_ext-row digit stack (the automorphism
+        commutes with the MAC and the P-division epilogue exactly).
+        Single rotations permute c1 FIRST and decompose the permuted
+        polynomial: gathers are among the most expensive TPU ops, and
+        permuting the 2 input rows costs ~(n_digits*n_ext)/n_cur times
+        less than permuting the digit stack. The hoist/permute-first
+        decision depends only on the program (rotation counts per
+        source), so the numpy backend makes the identical choice and
+        results stay bit-identical."""
         ctx = self.ctx
         if steps % (self.k * (ctx.n // 2)) == 0:
             return list(polys)
@@ -1106,8 +1156,8 @@ class JaxProgram:
                                         src_key)
         g = ctx.galois_elt(steps)
         aperm = dev_perm(ctx, g)
-        c0 = aperm(polys[0])
         if self._dp is not None:
+            c0 = aperm(polys[0])
             site = f"galois_{g}"
             alpha = self.keys.galois[g].alpha
             if hoist is not None and src_key is not None:
@@ -1122,21 +1172,24 @@ class JaxProgram:
                 c1 = aperm(polys[1])
                 d0, d1 = self._ks_dp(dev.intt(c1), level, site, alpha)
             return [dev.add(c0, d0), d1]
-        layout = self.dkeys.layout(self.keys.galois[g], level)
         if hoist is not None and src_key is not None:
             digits = hoist.get(src_key)
             if digits is None:
                 digits = self._ks_digits(polys[1], level)
                 hoist[src_key] = digits
-            d0, d1 = self._ks_apply(digits, level, layout, perm=aperm)
-        elif self._fused_ks_ok(level):
+            layout = self.dkeys.layout_rot(self.keys.galois[g], level, g)
+            d0, d1 = self._ks_apply(digits, level, layout)
+            return [aperm(dev.add(polys[0], d0)), aperm(d1)]
+        c0 = aperm(polys[0])
+        if self._fused_ks_ok(level):
             c1 = aperm(polys[1])
             d0, d1 = self._ks_fused_coeffs(dev.intt(c1), level,
                                            self.keys.galois[g], out_ntt=True)
         else:
             c1 = aperm(polys[1])
             digits = self._ks_digits(c1, level, self.keys.galois[g].alpha)
-            d0, d1 = self._ks_apply(digits, level, layout)
+            d0, d1 = self._ks_apply(
+                digits, level, self.dkeys.layout(self.keys.galois[g], level))
         return [dev.add(c0, d0), d1]
 
     def _rotate_sharded(self, polys, steps: int, level: int,
@@ -1183,16 +1236,21 @@ class JaxProgram:
                 continue
             g = ctx.galois_elt(amt)
             aperm = dev_perm(ctx, g)
+            if digits_full is not None:
+                # Permute-after: MAC the shared digits against the
+                # inverse-permuted key, automorph only the two outputs.
+                dg = digits_full.shard_window(c, g_lo, g_hi)
+                layout = self.dkeys.layout_rot(self.keys.galois[g], level, g)
+                d0, d1 = self._ks_apply(dg, level, layout)
+                out0.append(aperm(dev.add(s0, d0)))
+                out1.append(aperm(d1))
+                continue
             layout = self.dkeys.layout(self.keys.galois[g], level)
             c0 = aperm(s0)
-            if digits_full is not None:
-                dg = digits_full.shard_window(c, g_lo, g_hi)
-                d0, d1 = self._ks_apply(dg, level, layout, perm=aperm)
-            else:
-                c1p = aperm(s1)
-                d0, d1 = self._ks_apply(
-                    self._ks_digits(c1p, level, self.keys.galois[g].alpha),
-                    level, layout)
+            c1p = aperm(s1)
+            d0, d1 = self._ks_apply(
+                self._ks_digits(c1p, level, self.keys.galois[g].alpha),
+                level, layout)
             out0.append(dev.add(c0, d0))
             out1.append(d1)
         if len(out0) == 1:
@@ -1277,9 +1335,11 @@ class JaxProgram:
         plain_in = {}
         for idx, v in host_values.items():
             if isinstance(v, Ciphertext):
-                cipher_in[f"t{idx}"] = [jnp.asarray(_to_u32(c)) for c in v.polys]
+                cipher_in[f"t{idx}"] = self._upload(
+                    v, lambda ct: [jnp.asarray(_to_u32(c)) for c in ct.polys])
             elif isinstance(v, Plaintext):
-                plain_in[f"t{idx}"] = jnp.asarray(_to_u32(v.poly))
+                plain_in[f"t{idx}"] = self._upload(
+                    v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
         out = self._jitted(cipher_in, plain_in)
         result = {}
         for name, t in self.program.outputs.items():
