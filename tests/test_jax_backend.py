@@ -273,3 +273,69 @@ class TestDevPermMXU:
         arr = jnp.arange(256, dtype=jnp.uint32)[None]
         np.testing.assert_array_equal(
             np.asarray(dp(arr))[0], np.arange(256, dtype=np.uint32)[::-1])
+
+
+class TestHoistedPermuteAfter:
+    """The hoisted rotation path MACs the shared digit stack against an
+    INVERSE-permuted key layout and automorphs only the two outputs
+    (executor_jax.DeviceKeys.layout_rot). Lock the inversion identity and
+    the device-upload cache semantics."""
+
+    def test_layout_rot_is_inverse_permuted(self):
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys, Executor
+
+        prog = EvaProgram("rotk", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", (x << 1) + (x << 1) * (x << 1))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, _ = generate_keys(params, backend="jax")
+        ex = Executor(compiled, pub.ctx, pub._keys, backend="jax")
+        jp = ex._get_jax_program()
+        ctx = pub.ctx
+        g = ctx.galois_elt(1)
+        ksk = jp.keys.galois[g]
+        plain = jp.dkeys.layout(ksk, 0)
+        rot = jp.dkeys.layout_rot(ksk, 0, g)
+        perm = ctx.perm_for_elt(g)
+        # forward-permuting the inverse-permuted planes restores them
+        for comp_p, comp_r in zip(plain, rot):
+            for a, b in zip(comp_p, comp_r):
+                if a is None:
+                    assert b is None
+                    continue
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(jnp.take(b, perm, axis=-1)))
+
+    def test_upload_cache_reuses_device_planes(self):
+        import random
+        random.seed(7)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys, Executor
+
+        prog = EvaProgram("upc", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", x * [0.5] * 16 + 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        inputs = {"x": [random.uniform(-2, 2) for _ in range(16)]}
+        enc = pub.encrypt(inputs, sig)
+        ex = Executor(compiled, pub.ctx, pub._keys, backend="jax")
+        out1 = ex.run(enc)
+        jp = ex._get_jax_program()
+        n_cached = len(jp._upload_cache)
+        assert n_cached >= 1  # cipher input + cached encodes
+        out2 = ex.run(enc)
+        assert len(jp._upload_cache) == n_cached  # hits, no growth
+        for a, b in zip(out1["y"].polys, out2["y"].polys):
+            np.testing.assert_array_equal(a, b)
