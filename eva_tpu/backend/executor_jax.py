@@ -59,7 +59,10 @@ _enable_compilation_cache()
 
 
 def level_ops(primes: List[int], n: int) -> DeviceLevelOps:
-    key = tuple(primes)
+    # n MUST be part of the key: the same prime can serve two ring sizes
+    # (q = 1 mod 2*16384 implies q = 1 mod 2*8192), and a fuzz campaign
+    # hit exactly that collision across two programs in one process.
+    key = (tuple(primes), n)
     if key not in _LEVEL_OPS_CACHE:
         _LEVEL_OPS_CACHE[key] = DeviceLevelOps(primes, n)
     return _LEVEL_OPS_CACHE[key]

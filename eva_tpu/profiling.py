@@ -130,7 +130,131 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
     return results, hbm
 
 
+def estimate_program(compiled, params, *, ntt_row_us: float = 2.2,
+                     perm_row_us: float = 0.94, hbm_gbs: float = 1160.0,
+                     hbm_eff: float = 0.30, ks_alpha: int = 2):
+    """Speed-of-light cost ESTIMATE of one compiled-program execution on
+    one chip, from the per-kernel roofline model — the budget a measured
+    run should be compared against to localize overheads (dispatch,
+    transfers, poor fusion).
+
+    Model: NTT/iNTT rows cost ntt_row_us each (measured merged-twist
+    Pallas kernel at N=16384, scaled by N*log2 N); automorphism rows
+    cost perm_row_us (DevPerm MXU); everything elementwise is HBM-bound
+    at hbm_eff * hbm_gbs (measured fraction of speed-of-light for
+    dyadic kernels). Hoisted rotations amortize the shared digit stack
+    exactly like the executor does. Returns (per-class dict, total_s)."""
+    from .crypto.context import get_context
+    from .ir import Op, Type
+    from .runtime.executor import Executor
+
+    ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
+                      params.poly_modulus_degree)
+    ex = Executor.__new__(Executor)
+    Executor.__init__.__wrapped__(ex) if False else None
+    ex_inited = Executor(compiled, ctx, None)
+    plan, types, order = ex_inited.plan, ex_inited.types, ex_inited.order
+    hoisted = ex_inited._hoisted_sources
+
+    n = ctx.n
+    n_key = len(ctx.key_primes)
+    scale_n = (n * max(np.log2(n), 1)) / (16384 * 14)
+    row_ntt = ntt_row_us * 1e-6 * scale_n
+    row_perm = perm_row_us * 1e-6 * (n / 16384)
+    bw = hbm_gbs * 1e9 * hbm_eff
+    k = max(1, compiled.vec_size // (n // 2))
+
+    def nc(level):
+        return len(ctx.primes_at_level(level))
+
+    def ew(rows):  # elementwise pass over `rows` N-coefficient rows
+        return rows * n * 4 / bw
+
+    totals: dict = {}
+    hoist_done = set()
+
+    def add(cls, sec):
+        c, s = totals.get(cls, (0, 0.0))
+        totals[cls] = (c + 1, s + sec)
+
+    for term in order:
+        op = term.op
+        if types[term] != Type.Cipher or term.index not in plan:
+            continue
+        lv = plan[term.index].level
+        cur = nc(lv)
+        n_ext = cur + n_key
+        n_groups = -(-cur // ks_alpha)
+        size = 3 if (op == Op.Mul and all(
+            types[o] == Type.Cipher for o in term.operands)) else 2
+        if op in (Op.Add, Op.Sub):
+            add("add/sub", ew(3 * 2 * cur * k))
+        elif op == Op.Negate:
+            add("negate", ew(2 * 2 * cur * k))
+        elif op == Op.Mul:
+            if all(types[o] == Type.Cipher for o in term.operands):
+                add("mul ct-ct", ew((4 + 3) * cur * k))
+            else:
+                add("mul plain", ew((3 + 2) * cur * k))
+        elif op == Op.Relinearize:
+            digits = (cur + (n_groups - 1) * cur + n_groups * n_key)
+            epi = 2 * (n_ext + cur)
+            mac = 2 * n_groups * n_ext * 2  # digit+key reads, both polys
+            add("relinearize", k * (row_ntt * (digits + epi + cur)
+                                    + ew(mac)))
+        elif op == Op.RotateLeftConst:
+            src = term.operands[0]
+            hoist_cost = 0.0
+            if src.index in hoisted and src.index not in hoist_done:
+                hoist_done.add(src.index)
+                digits = (cur + (n_groups - 1) * cur + n_groups * n_key
+                          - cur)  # own rows reuse the input NTT planes
+                hoist_cost = k * row_ntt * (digits + cur)  # + intt(c1)
+            elif src.index not in hoisted:
+                hoist_cost = k * row_ntt * (
+                    cur + n_groups * n_ext)  # intt + full digit NTTs
+            epi = 2 * (n_ext + cur)
+            mac = 2 * n_groups * n_ext * 2
+            add("rotate", hoist_cost
+                + k * (row_ntt * epi + ew(mac) + row_perm * 2 * cur))
+        elif op == Op.Rescale:
+            drop = len(ctx.entries_at_level(lv)[-1].primes)
+            add("rescale", k * 2 * (row_ntt * (cur + cur - drop)
+                                    + ew(drop * cur)))
+        elif op == Op.ModSwitch:
+            add("modswitch", ew(2 * cur * k))
+    total = sum(s for _, s in totals.values())
+    return totals, total
+
+
+def estimate_main(which: str):
+    import bench as B  # repo-root bench defines the workloads
+    from .ckks import CKKSCompiler
+
+    if which == "sobel":
+        prog = B.build_sobel()
+    else:
+        from . import EvaProgram, Input, Output
+        prog = EvaProgram("poly", vec_size=4096)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + 5 * x - 2)
+        prog.set_input_scales(30)
+        prog.set_output_ranges(20)
+    compiled, params, _ = CKKSCompiler({"warn_vec_size": "false"}).compile(prog)
+    totals, total = estimate_program(compiled, params)
+    print(f"program={prog.name} N={params.poly_modulus_degree} "
+          f"prime_bits={list(params.prime_bits)}")
+    print(f"{'op class':<16}{'count':>7}{'est ms':>10}")
+    for cls, (c, s) in sorted(totals.items(), key=lambda kv: -kv[1][1]):
+        print(f"{cls:<16}{c:>7}{s*1e3:>10.2f}")
+    print(f"{'TOTAL':<16}{'':>7}{total*1e3:>10.2f}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "estimate":
+        estimate_main(sys.argv[2] if len(sys.argv) > 2 else "sobel")
+        return
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 16384
     levels = int(sys.argv[2]) if len(sys.argv) > 2 else 6
     import jax

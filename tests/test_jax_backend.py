@@ -339,3 +339,19 @@ class TestHoistedPermuteAfter:
         assert len(jp._upload_cache) == n_cached  # hits, no growth
         for a, b in zip(out1["y"].polys, out2["y"].polys):
             np.testing.assert_array_equal(a, b)
+
+
+def test_level_ops_cache_keyed_by_ring_size():
+    """The same prime can serve two ring sizes (q = 1 mod 2*16384 implies
+    q = 1 mod 2*8192); level_ops must not return an NTT table built for
+    the other N (found by the offline fuzz campaign)."""
+    from eva_tpu.backend.executor_jax import level_ops
+    from eva_tpu.crypto.primes import build_chain
+
+    q = build_chain([60], 16384)[0].primes[0]
+    a = level_ops([q], 8192)
+    b = level_ops([q], 16384)
+    assert a.n == 8192 and b.n == 16384
+    x = np.random.default_rng(3).integers(0, q, (1, 8192), dtype=np.uint64)
+    y = a.intt(a.ntt(jnp.asarray(x.astype(np.uint32))))
+    np.testing.assert_array_equal(np.asarray(y), x.astype(np.uint32))
