@@ -355,3 +355,23 @@ def test_level_ops_cache_keyed_by_ring_size():
     x = np.random.default_rng(3).integers(0, q, (1, 8192), dtype=np.uint64)
     y = a.intt(a.ntt(jnp.asarray(x.astype(np.uint32))))
     np.testing.assert_array_equal(np.asarray(y), x.astype(np.uint32))
+
+
+def test_program_cost_estimate_smoke():
+    """estimate_program returns a positive budget and covers every HE op
+    class in a rotation+relin+rescale program."""
+    from eva_tpu import EvaProgram, Input, Output
+    from eva_tpu.ckks import CKKSCompiler
+    from eva_tpu.profiling import estimate_program
+
+    prog = EvaProgram("est", vec_size=1024)
+    with prog:
+        x = Input("x")
+        Output("y", (x << 1) * x + (x << 2) * 0.5 - 1)
+    prog.set_input_scales(30)
+    prog.set_output_ranges(20)
+    compiled, params, _ = CKKSCompiler({"warn_vec_size": "false"}).compile(prog)
+    totals, total = estimate_program(compiled, params)
+    assert total > 0
+    assert "rotate" in totals and "relinearize" in totals
+    assert sum(s for _, s in totals.values()) == total
