@@ -468,7 +468,7 @@ class JaxProgram:
             and len(t.operands[0].uses) == 1}
         self._hoisted_sources = rotation_hoist_sources(order)
         self._dp = None  # digit-parallel context (set during dp traces)
-        self._jitted = jax.jit(self._traced)
+        self._jit_cache: Dict[Tuple, object] = {}
         self._sharded_cache: Dict[int, object] = {}
         # Device-upload cache: program constants (encode-cache Plaintexts)
         # and re-executed input Ciphertexts are uploaded once, not per
@@ -478,6 +478,55 @@ class JaxProgram:
         # Bounded FIFO so arbitrary fresh ciphertexts cannot grow it.
         self._upload_cache: "OrderedDict[int, tuple]" = OrderedDict()
         self._upload_cache_cap = 256
+
+    def _jitted(self, cipher_in, plain_in):
+        """Compile (or fetch) the whole-graph executable for this input
+        tree, with every captured array HOISTED into an argument.
+
+        The traced program closes over key layouts, NTT/FBE tables, and
+        automorphism one-hots; under plain jit those become literal
+        constants baked into the HLO (Sobel: ~380 MB of module text,
+        ~2700 large dense constants, 96 s first compile). make_jaxpr
+        surfaces them as jaxpr consts instead; the concrete buffers are
+        device_put once per program and passed as arguments on every
+        call, so the lowered module carries no key/table bytes at all.
+        (jax.closure_convert is unsuitable: it hoists only AD-perturbable
+        consts, and every plane here is uint32/int8.)"""
+        from jax import tree_util
+
+        key = (
+            tuple(sorted((k, len(v), v[0].shape) for k, v in
+                         cipher_in.items())),
+            tuple(sorted((k, v.shape) for k, v in plain_in.items())))
+        hit = self._jit_cache.get(key)
+        if hit is None:
+            flat_in, in_tree = tree_util.tree_flatten((cipher_in, plain_in))
+            out_tree_box = []
+
+            def flat_fn(*flat):
+                c, p = tree_util.tree_unflatten(in_tree, flat)
+                out_flat, out_tree = tree_util.tree_flatten(
+                    self._traced(c, p))
+                out_tree_box.append(out_tree)
+                return out_flat
+
+            closed = jax.make_jaxpr(flat_fn)(*flat_in)
+            # The same table/key array is often captured by many eqns;
+            # upload one device buffer per distinct host array.
+            bufs: Dict[int, object] = {}
+            consts = [bufs.setdefault(id(c), jax.device_put(c))
+                      for c in closed.consts]
+            jaxpr, out_tree = closed.jaxpr, out_tree_box[0]
+            jitted = jax.jit(
+                lambda cs, flat: jax.core.eval_jaxpr(jaxpr, cs, *flat))
+
+            def call(c, p):
+                flat, _ = tree_util.tree_flatten((c, p))
+                return tree_util.tree_unflatten(out_tree,
+                                                jitted(consts, flat))
+
+            hit = self._jit_cache[key] = call
+        return hit(cipher_in, plain_in)
 
     def _upload(self, host_obj, planes_fn):
         """Cache jnp device copies of a host Plaintext/Ciphertext."""
