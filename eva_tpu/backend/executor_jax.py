@@ -72,6 +72,51 @@ def _to_u32(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
+def _hoist_consts_jit(fn, example_args, const_sharding=None):
+    """jit(fn) with every captured array hoisted into an argument.
+
+    Plain jit bakes closed-over arrays (key layouts, NTT/FBE tables,
+    automorphism one-hots) into the HLO as literal constants — the Sobel
+    module lowered to ~380 MB of text with ~2700 large dense constants
+    and compiled in 96 s cold, and the executable hash depended on the
+    key material (every new key set was a compile-cache miss).
+    make_jaxpr surfaces the captures as jaxpr consts; they are
+    device_put once (deduped by host-array identity, optionally with a
+    replicated mesh sharding) and passed as arguments per call, so the
+    lowered module carries no key/table bytes. (jax.closure_convert is
+    unsuitable: it hoists only AD-perturbable consts, and every plane
+    here is uint32/int8.) Consts captured inside shard_map bodies are
+    surfaced at the outer level with replication preserved."""
+    from jax import tree_util
+
+    flat_in, in_tree = tree_util.tree_flatten(example_args)
+    out_tree_box = []
+
+    def flat_fn(*flat):
+        args = tree_util.tree_unflatten(in_tree, flat)
+        out_flat, out_tree = tree_util.tree_flatten(fn(*args))
+        out_tree_box.append(out_tree)
+        return out_flat
+
+    closed = jax.make_jaxpr(flat_fn)(*flat_in)
+    bufs: Dict[int, object] = {}
+
+    def put(c):
+        if const_sharding is not None and getattr(c, "ndim", 1) > 0:
+            return jax.device_put(c, const_sharding)
+        return jax.device_put(c)
+
+    consts = [bufs.setdefault(id(c), put(c)) for c in closed.consts]
+    jaxpr, out_tree = closed.jaxpr, out_tree_box[0]
+    jitted = jax.jit(lambda cs, flat: jax.core.eval_jaxpr(jaxpr, cs, *flat))
+
+    def call(*args):
+        flat, _ = tree_util.tree_flatten(args)
+        return tree_util.tree_unflatten(out_tree, jitted(consts, flat))
+
+    return call
+
+
 from .modmath import to_mont, to_mont_rows as _to_mont_rows  # shared converters
 
 
@@ -483,49 +528,16 @@ class JaxProgram:
         """Compile (or fetch) the whole-graph executable for this input
         tree, with every captured array HOISTED into an argument.
 
-        The traced program closes over key layouts, NTT/FBE tables, and
-        automorphism one-hots; under plain jit those become literal
-        constants baked into the HLO (Sobel: ~380 MB of module text,
-        ~2700 large dense constants, 96 s first compile). make_jaxpr
-        surfaces them as jaxpr consts instead; the concrete buffers are
-        device_put once per program and passed as arguments on every
-        call, so the lowered module carries no key/table bytes at all.
-        (jax.closure_convert is unsuitable: it hoists only AD-perturbable
-        consts, and every plane here is uint32/int8.)"""
-        from jax import tree_util
-
+        See _hoist_consts_jit: captured tables and key layouts are passed
+        as device-resident arguments, not baked into the module."""
         key = (
             tuple(sorted((k, len(v), v[0].shape) for k, v in
                          cipher_in.items())),
             tuple(sorted((k, v.shape) for k, v in plain_in.items())))
         hit = self._jit_cache.get(key)
         if hit is None:
-            flat_in, in_tree = tree_util.tree_flatten((cipher_in, plain_in))
-            out_tree_box = []
-
-            def flat_fn(*flat):
-                c, p = tree_util.tree_unflatten(in_tree, flat)
-                out_flat, out_tree = tree_util.tree_flatten(
-                    self._traced(c, p))
-                out_tree_box.append(out_tree)
-                return out_flat
-
-            closed = jax.make_jaxpr(flat_fn)(*flat_in)
-            # The same table/key array is often captured by many eqns;
-            # upload one device buffer per distinct host array.
-            bufs: Dict[int, object] = {}
-            consts = [bufs.setdefault(id(c), jax.device_put(c))
-                      for c in closed.consts]
-            jaxpr, out_tree = closed.jaxpr, out_tree_box[0]
-            jitted = jax.jit(
-                lambda cs, flat: jax.core.eval_jaxpr(jaxpr, cs, *flat))
-
-            def call(c, p):
-                flat, _ = tree_util.tree_flatten((c, p))
-                return tree_util.tree_unflatten(out_tree,
-                                                jitted(consts, flat))
-
-            hit = self._jit_cache[key] = call
+            hit = self._jit_cache[key] = _hoist_consts_jit(
+                lambda c, p: self._traced(c, p), (cipher_in, plain_in))
         return hit(cipher_in, plain_in)
 
     def _upload(self, host_obj, planes_fn):
@@ -680,14 +692,17 @@ class JaxProgram:
             n_dp = mesh.shape.get("limb", 1)
             use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
                       and self._ks_sites())
+            from jax.sharding import NamedSharding
+            repl = NamedSharding(mesh, P())
             if not use_dp:
                 out_specs = jax.tree.map(
                     lambda _: P(bax),
                     jax.eval_shape(self._traced, cipher_in, plain_in))
-                self._sharded_cache[key] = jax.jit(shard_map(
-                    lambda c, p: self._traced(c, p),
-                    mesh=mesh, in_specs=specs, out_specs=out_specs,
-                    check_rep=False))
+                self._sharded_cache[key] = _hoist_consts_jit(
+                    shard_map(lambda c, p: self._traced(c, p),
+                              mesh=mesh, in_specs=specs,
+                              out_specs=out_specs, check_rep=False),
+                    (cipher_in, plain_in), const_sharding=repl)
             else:
                 dp_tabs = {}
                 dp_keys = {}
@@ -715,7 +730,11 @@ class JaxProgram:
                         c, p, t, k, "limb", n_dp),
                     mesh=mesh, in_specs=(specs[0], specs[1]) + dp_specs,
                     out_specs=out_specs, check_rep=False)
-                jitted = jax.jit(body)
+                # dp tables/keys stay explicit shard_map args (sharded
+                # P("limb")); only body-level captures are hoisted.
+                jitted = _hoist_consts_jit(
+                    body, (cipher_in, plain_in, dp_tabs, dp_keys),
+                    const_sharding=repl)
                 self._sharded_cache[key] = (
                     lambda c, p: jitted(c, p, dp_tabs, dp_keys))
         return self._sharded_cache[key]
