@@ -60,6 +60,47 @@ def check(ctx, alpha, level, out_ntt, seed=11):
     return ok
 
 
+def check_hoisted_rotation(ctx, seed=17):
+    """Hoisted permute-after rotation (layout_rot: MAC unpermuted digits
+    against the inverse-permuted key, automorph the outputs) vs the
+    permute-first form (permute digit planes, MAC plain key) — must be
+    bit-identical on device for every Galois key."""
+    from eva_tpu.backend.executor_jax import dev_perm
+    ks = K.generate_keys(ctx)
+    jp = JaxProgram.__new__(JaxProgram)
+    jp.ctx, jp.keys, jp.k = ctx, ks, 1
+    jp.dkeys = device_keys(ctx, ks)
+    rng = np.random.default_rng(seed)
+    level = 0
+    primes = ctx.primes_at_level(level)
+    dev = level_ops(primes, ctx.n)
+    poly = np.stack([rng.integers(0, q, ctx.n, dtype=np.uint64)
+                     for q in primes]).astype(np.uint32)
+    poly_j = jnp.asarray(poly[None])
+    digits = jp._ks_digits(poly_j, level)
+    ok = True
+    for steps in ctx.rotations:
+        g = ctx.galois_elt(steps)
+        aperm = dev_perm(ctx, g)
+        # permute-first oracle: permute every digit row, plain key
+        perm_digits = type(digits)(
+            aperm(digits.own),
+            None if digits.a is None else aperm(digits.a),
+            aperm(digits.b), digits.n_groups)
+        ref0, ref1 = jp._ks_apply(perm_digits, level,
+                                  jp.dkeys.layout(ks.galois[g], level))
+        # permute-after (production path)
+        d0, d1 = jp._ks_apply(digits, level,
+                              jp.dkeys.layout_rot(ks.galois[g], level, g))
+        got0, got1 = aperm(d0), aperm(d1)
+        good = (np.array_equal(np.asarray(ref0), np.asarray(got0))
+                and np.array_equal(np.asarray(ref1), np.asarray(got1)))
+        print(f"  n={ctx.n} hoisted steps={steps}: "
+              f"{'OK' if good else 'MISMATCH'}", flush=True)
+        ok &= good
+    return ok
+
+
 def check_dev_perm(ctx, seed=13):
     """DevPerm (MXU one-hot int8-matmul automorphism) vs the plain
     jnp.take gather, on device, for rotation elements in both directions
@@ -89,6 +130,7 @@ def main():
     small = CKKSContext([60, 30, 60, 60], [1, -2, 4], 2048)
     for ctx in (big, small):
         ok &= check_dev_perm(ctx)
+        ok &= check_hoisted_rotation(ctx)
         for alpha in (1, 2):
             for level in (0, 1):
                 for out_ntt in (True, False):
