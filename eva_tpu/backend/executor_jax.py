@@ -682,7 +682,13 @@ class JaxProgram:
         integrated form of parallel/ks_shard.ShardedKeySwitch. Dyadic
         ops run replicated across the axis (they are ~50x cheaper than
         key switching; sharding them would force per-op collectives)."""
-        key = id(mesh)
+        # Keyed by mesh AND input shapes: the hoisted-consts jaxpr is
+        # traced at concrete shapes, so a different batch size must get
+        # its own entry (values pin the mesh against id reuse).
+        key = (id(mesh),
+               tuple(sorted((k, len(v), v[0].shape)
+                            for k, v in cipher_in.items())),
+               tuple(sorted((k, v.shape) for k, v in plain_in.items())))
         if key not in self._sharded_cache:
             from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P

@@ -290,3 +290,34 @@ class TestHostAxisMesh:
             for name in a:
                 for ca, cb in zip(a[name].polys, b[name].polys):
                     assert np.array_equal(np.asarray(ca), np.asarray(cb))
+
+
+def test_same_mesh_two_batch_sizes():
+    """The sharded executor caches a shape-pinned jaxpr; a second batch
+    size on the SAME mesh must get its own entry, not a shape error."""
+    import random
+    random.seed(23)
+    from eva_tpu import EvaProgram, Input, Output
+    from eva_tpu.ckks import CKKSCompiler
+    from eva_tpu.runtime import generate_keys
+
+    prog = EvaProgram("b2", vec_size=16)
+    with prog:
+        x = Input("x")
+        Output("y", (x << 1) * x + 1)
+    prog.set_output_ranges(20)
+    prog.set_input_scales(30)
+    compiled, params, sig = CKKSCompiler(
+        {"warn_vec_size": "false"}).compile(prog)
+    pub, sec = generate_keys(params, backend="jax")
+    mesh = make_device_mesh(8, limb_axis=2)
+    encs = [pub.encrypt({"x": [random.uniform(-2, 2) for _ in range(16)]},
+                        sig) for _ in range(8)]
+    singles = pub.execute_batch(compiled, encs, mesh=None)
+    out8 = pub.execute_batch(compiled, encs, mesh=mesh)
+    out4 = pub.execute_batch(compiled, encs[:4], mesh=mesh)  # 2nd shape
+    for got, want in ((out8, singles), (out4, singles[:4])):
+        for a, b in zip(want, got):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))
