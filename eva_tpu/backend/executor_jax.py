@@ -671,7 +671,8 @@ class JaxProgram:
         finally:
             self._dp = None
 
-    def _sharded_jit(self, mesh, cipher_in, plain_in):
+    def _sharded_jit(self, mesh, cipher_in, plain_in,
+                     plain_unbatched=frozenset()):
         """jit(shard_map(traced)) for a mesh, cached per mesh (Pallas
         kernels cannot be auto-partitioned; shard_map runs the program
         per-shard on each device's local batch slice).
@@ -694,7 +695,10 @@ class JaxProgram:
             from jax.sharding import PartitionSpec as P
             from ..parallel.sharding import batch_axes
             bax = batch_axes(mesh)  # ("host", "batch") on a DCN mesh
-            specs = jax.tree.map(lambda _: P(bax), (cipher_in, plain_in))
+            # Unbatched plain constants are replicated, not batch-sharded.
+            specs = (jax.tree.map(lambda _: P(bax), cipher_in),
+                     {k: (P() if k in plain_unbatched else P(bax))
+                      for k in plain_in})
             n_dp = mesh.shape.get("limb", 1)
             use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
                       and self._ks_sites())
@@ -1373,6 +1377,7 @@ class JaxProgram:
 
         cipher_in = {}
         plain_in = {}
+        plain_unbatched = set()
         first = host_values_list[0]
         for idx, v in first.items():
             key = f"t{idx}"
@@ -1382,14 +1387,27 @@ class JaxProgram:
                         [_to_u32(hv[idx].polys[k]) for hv in host_values_list])))
                     for k in range(v.size)]
             elif isinstance(v, Plaintext):
-                plain_in[key] = place(jnp.asarray(np.stack(
-                    [_to_u32(hv[idx].poly) for hv in host_values_list])))
+                # Program constants (cached encodes) are the same host
+                # object for every batch element: upload ONE unbatched
+                # copy (replicated on a mesh) and let broadcasting apply
+                # it — not B stacked copies per call.
+                if all(hv[idx] is v for hv in host_values_list):
+                    plain_unbatched.add(key)
+                    dev_arr = self._upload(
+                        v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
+                    if mesh is not None:
+                        dev_arr = _jax.device_put(
+                            dev_arr, NamedSharding(mesh, P()))
+                    plain_in[key] = dev_arr
+                else:
+                    plain_in[key] = place(jnp.asarray(np.stack(
+                        [_to_u32(hv[idx].poly) for hv in host_values_list])))
 
         if mesh is None:
             out = self._jitted(cipher_in, plain_in)
         else:
-            out = self._sharded_jit(mesh, cipher_in, plain_in)(
-                cipher_in, plain_in)
+            out = self._sharded_jit(mesh, cipher_in, plain_in,
+                                    plain_unbatched)(cipher_in, plain_in)
         results = [dict() for _ in range(batch)]
         for name, t in self.program.outputs.items():
             if self.types[t] == Type.Raw:
