@@ -949,23 +949,32 @@ class JaxProgram:
         from .pallas_ks import get_pallas_ks
         ctx = self.ctx
         n_groups, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
+        _, owner, _ = _ks_maps(ctx, level, alpha)
         ext_primes = tuple(ctx.primes_at_level(level)) + tuple(ctx.key_primes)
         return get_pallas_ks(ext_primes, ctx.n, len(ctx.key_primes),
-                             alpha, n_groups, np.asarray(conv_mont)[..., 0])
+                             alpha, n_groups, np.asarray(conv_mont)[..., 0],
+                             owner=owner)
 
-    def _ks_fused_coeffs(self, coeffs, level: int, ksk, out_ntt: bool):
+    def _ks_fused_coeffs(self, coeffs, level: int, ksk, out_ntt: bool,
+                         poly_ntt=None):
         """Fused key switch from coefficient-domain input: FBE + digit
         NTTs + key MACs in one VMEM-resident kernel, iNTT + P-division
         (+ output NTT) in a second. Bit-identical to the structured XLA
-        path (exact modular arithmetic; see pallas_ks.py)."""
+        path (exact modular arithmetic; see pallas_ks.py). When the
+        caller already holds the polynomial's NTT planes (rotations and
+        relinearizations do), pass poly_ntt: the kernel reuses them for
+        each digit's own rows — n_cur of the n_groups*n_ext row-NTTs."""
         ctx = self.ctx
         alpha = ksk.alpha  # per-key digit grouping (matches dense_layout)
         n_cur = len(ctx.primes_at_level(level))
         y, n_groups = self._ks_fbe_y(coeffs, level, alpha)
         lead = y.shape[:-2]
         y = y.reshape((-1, n_groups, alpha, ctx.n))
+        x_ntt = (None if poly_ntt is None
+                 else poly_ntt.reshape((-1, n_cur, ctx.n)))
         k0, k1 = self.dkeys.dense_layout(ksk, level)
-        d0, d1 = self._pallas_ks(level, alpha).apply(y, k0, k1, out_ntt)
+        d0, d1 = self._pallas_ks(level, alpha).apply(y, k0, k1, out_ntt,
+                                                     x_ntt=x_ntt)
         out_shape = lead + (n_cur, ctx.n)
         return d0.reshape(out_shape), d1.reshape(out_shape)
 
@@ -976,7 +985,7 @@ class JaxProgram:
         if self._fused_ks_ok(level):
             dev = self._ops_at(level)
             return self._ks_fused_coeffs(dev.intt(poly), level, ksk,
-                                         out_ntt=True)
+                                         out_ntt=True, poly_ntt=poly)
         return self._ks_apply(self._ks_digits(poly, level, ksk.alpha), level,
                               self.dkeys.layout(ksk, level))
 
@@ -1155,7 +1164,7 @@ class JaxProgram:
             elif self._fused_ks_ok(level):
                 d0, d1 = self._ks_fused_coeffs(
                     dev.intt(polys[2]), level, self.keys.relin,
-                    out_ntt=False)
+                    out_ntt=False, poly_ntt=polys[2])
             else:
                 digits = self._ks_digits(polys[2], level,
                                          self.keys.relin.alpha)
@@ -1265,7 +1274,8 @@ class JaxProgram:
         if self._fused_ks_ok(level):
             c1 = aperm(polys[1])
             d0, d1 = self._ks_fused_coeffs(dev.intt(c1), level,
-                                           self.keys.galois[g], out_ntt=True)
+                                           self.keys.galois[g], out_ntt=True,
+                                           poly_ntt=c1)
         else:
             c1 = aperm(polys[1])
             digits = self._ks_digits(c1, level, self.keys.galois[g].alpha)

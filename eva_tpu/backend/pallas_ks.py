@@ -64,36 +64,64 @@ def _intt_row(x, corr, st1, st2, q, n1, n2):
     return _sub_gs_merged(x, st1, q, n1)
 
 
-def _mac_kernel(alpha, n1, n2):
-    def kernel(y_ref, k0_ref, k1_ref, conv_ref, qs_ref,
-               corr_ref, st1_ref, st2_ref,
-               acc0_ref, acc1_ref):
+def _mac_kernel(alpha, n1, n2, have_own=False):
+    """MAC grid step (batch, basis row i, digit group j).
+
+    With have_own, the digit's OWN data rows skip the FBE + NTT entirely:
+    NTT(D_j mod q_i) for q_i in group j is bit-identical to the input's
+    NTT plane for row i (the FBE representative differs from D_j only by
+    multiples of Qg_j, which vanish mod the own primes), so the kernel
+    reads the provided x_ntt row instead of recomputing — n_cur of the
+    n_groups*n_ext row-NTTs, the kernel's dominant cost."""
+
+    def kernel(*refs):
+        if have_own:
+            (y_ref, xntt_ref, k0_ref, k1_ref, conv_ref, owner_ref, qs_ref,
+             corr_ref, st1_ref, st2_ref, acc0_ref, acc1_ref) = refs
+        else:
+            (y_ref, k0_ref, k1_ref, conv_ref, qs_ref,
+             corr_ref, st1_ref, st2_ref, acc0_ref, acc1_ref) = refs
         i = pl.program_id(1)
         j = pl.program_id(2)
         q = qs_ref[i, 0]
         nqinv = qs_ref[i, 1]
 
-        # Fast base extension: digit j's residue mod basis prime i.
-        d = mont_mul(y_ref[0, 0, 0], conv_ref[j * alpha, i], q, nqinv)
-        for k in range(1, alpha):
-            d = add_mod(
-                d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i], q,
-                            nqinv), q)
+        def mac_acc(x):
+            m0 = mont_mul(x, k0_ref[0, 0], q, nqinv)
+            m1 = mont_mul(x, k1_ref[0, 0], q, nqinv)
 
-        x = _ntt_row(d, corr_ref[0], st1_ref[0], st2_ref[0], q, n1, n2)
+            @pl.when(j == 0)
+            def _():
+                acc0_ref[0, 0] = m0
+                acc1_ref[0, 0] = m1
 
-        m0 = mont_mul(x, k0_ref[0, 0], q, nqinv)
-        m1 = mont_mul(x, k1_ref[0, 0], q, nqinv)
+            @pl.when(j != 0)
+            def _():
+                acc0_ref[0, 0] = add_mod(acc0_ref[0, 0], m0, q)
+                acc1_ref[0, 0] = add_mod(acc1_ref[0, 0], m1, q)
 
-        @pl.when(j == 0)
-        def _():
-            acc0_ref[0, 0] = m0
-            acc1_ref[0, 0] = m1
+        def fbe_ntt():
+            # Fast base extension: digit j's residue mod basis prime i.
+            d = mont_mul(y_ref[0, 0, 0], conv_ref[j * alpha, i], q, nqinv)
+            for k in range(1, alpha):
+                d = add_mod(
+                    d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i],
+                                q, nqinv), q)
+            return _ntt_row(d, corr_ref[0], st1_ref[0], st2_ref[0], q,
+                            n1, n2)
 
-        @pl.when(j != 0)
-        def _():
-            acc0_ref[0, 0] = add_mod(acc0_ref[0, 0], m0, q)
-            acc1_ref[0, 0] = add_mod(acc1_ref[0, 0], m1, q)
+        if have_own:
+            is_own = owner_ref[i, 0] == j
+
+            @pl.when(is_own)
+            def _():
+                mac_acc(xntt_ref[0, 0])
+
+            @pl.when(jnp.logical_not(is_own))
+            def _():
+                mac_acc(fbe_ntt())
+        else:
+            mac_acc(fbe_ntt())
 
     return kernel
 
@@ -233,17 +261,26 @@ class PallasKeySwitch(PallasEpilogue):
     returns the two switched polynomials after P-division."""
 
     def __init__(self, ext_primes: List[int], n: int, n_key: int,
-                 alpha: int, n_groups: int, conv_mont: np.ndarray):
+                 alpha: int, n_groups: int, conv_mont: np.ndarray,
+                 owner: np.ndarray = None):
         super().__init__(ext_primes, n, n_key)
         self.alpha = alpha
         self.n_groups = n_groups
         # conv_mont arrives [n_groups*alpha, n_ext] (pad rows zero);
         # kept 2D for SMEM (row j*alpha+k, column i).
         self.conv = conv_mont.reshape(n_groups * alpha, self.n_ext)
+        # owner[i] = digit group owning data row i; key rows get -1 so
+        # they never match a group index (own-row NTT skip, _mac_kernel).
+        self.owner = None
+        if owner is not None:
+            own = np.full((self.n_ext, 1), -1, dtype=np.int32)
+            own[:len(owner), 0] = owner
+            self.owner = own
 
-    def mac(self, y, k0, k1):
-        """y: [B, n_groups, alpha, N]; k0/k1: [n_groups, n_ext, N] mont.
-        Returns acc0, acc1: [B, n_ext, N]."""
+    def mac(self, y, k0, k1, x_ntt=None):
+        """y: [B, n_groups, alpha, N]; k0/k1: [n_groups, n_ext, N] mont;
+        x_ntt: optional [B, n_cur, N] NTT planes of the switched
+        polynomial (own-row NTT skip). Returns acc0, acc1: [B, n_ext, N]."""
         t = self.t
         n1, n2 = self.n1, self.n2
         B = y.shape[0]
@@ -251,6 +288,7 @@ class PallasKeySwitch(PallasEpilogue):
         k0r = k0.reshape(self.n_groups, self.n_ext, n1, n2)
         k1r = k1.reshape(self.n_groups, self.n_ext, n1, n2)
         grid = (B, self.n_ext, self.n_groups)
+        have_own = x_ntt is not None and self.owner is not None
 
         def yidx(b, i, j):
             return (b, j, 0, 0, 0)
@@ -267,32 +305,51 @@ class PallasKeySwitch(PallasEpilogue):
         out_shape = jax.ShapeDtypeStruct((B, self.n_ext, n1, n2), jnp.uint32)
         acc_spec = pl.BlockSpec((1, 1, n1, n2), accidx,
                                 memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec((1, 1, self.alpha, n1, n2), yidx,
+                                 memory_space=pltpu.VMEM)]
+        args = [yr]
+        if have_own:
+            n_cur = self.n_ext - self.n_key
+            xr = x_ntt.reshape(B, n_cur, n1, n2)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, n1, n2),
+                lambda b, i, j: (b, jnp.minimum(i, n_cur - 1), 0, 0),
+                memory_space=pltpu.VMEM))
+            args.append(xr)
+        in_specs += [
+            pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(self.conv.shape, lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ]
+        args += [k0r, k1r, self.conv]
+        if have_own:
+            in_specs.append(pl.BlockSpec(self.owner.shape,
+                                         lambda b, i, j: (0, 0),
+                                         memory_space=pltpu.SMEM))
+            args.append(self.owner)
+        in_specs += [
+            pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n1, 1), tabidx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
+        ]
+        args += [self.qs, t.mcorr_f, t.mst1_f[..., None],
+                 t.st2_f[..., None]]
         acc0, acc1 = pl.pallas_call(
-            _mac_kernel(self.alpha, n1, n2),
+            _mac_kernel(self.alpha, n1, n2, have_own),
             grid=grid,
             interpret=self._interpret(),
-            in_specs=[
-                pl.BlockSpec((1, 1, self.alpha, n1, n2), yidx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n1, n2), kidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec(self.conv.shape, lambda b, i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, n1, 1), tabidx, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=(acc_spec, acc_spec),
             out_shape=(out_shape, out_shape),
-        )(yr, k0r, k1r, self.conv, self.qs,
-          t.mcorr_f, t.mst1_f[..., None], t.st2_f[..., None])
+        )(*args)
         return (acc0.reshape(B, self.n_ext, self.n),
                 acc1.reshape(B, self.n_ext, self.n))
 
-    def apply(self, y, k0, k1, out_ntt: bool = True):
-        acc0, acc1 = self.mac(y, k0, k1)
+    def apply(self, y, k0, k1, out_ntt: bool = True, x_ntt=None):
+        acc0, acc1 = self.mac(y, k0, k1, x_ntt=x_ntt)
         return self.epilogue(acc0, acc1, out_ntt)
 
 
@@ -304,15 +361,18 @@ def get_pallas_epilogue(ext_primes: Tuple[int, ...], n: int,
 
 @lru_cache(maxsize=None)
 def _get(ext_primes: Tuple[int, ...], n: int, n_key: int, alpha: int,
-         n_groups: int, conv_bytes: bytes, conv_shape: Tuple[int, int]):
+         n_groups: int, conv_bytes: bytes, conv_shape: Tuple[int, int],
+         owner: Tuple[int, ...]):
     conv = np.frombuffer(conv_bytes, dtype=np.uint32).reshape(conv_shape)
-    return PallasKeySwitch(list(ext_primes), n, n_key, alpha, n_groups,
-                           conv.copy())
+    return PallasKeySwitch(
+        list(ext_primes), n, n_key, alpha, n_groups, conv.copy(),
+        None if owner is None else np.asarray(owner, dtype=np.int32))
 
 
 def get_pallas_ks(ext_primes: Tuple[int, ...], n: int, n_key: int,
-                  alpha: int, n_groups: int,
-                  conv_mont: np.ndarray) -> PallasKeySwitch:
+                  alpha: int, n_groups: int, conv_mont: np.ndarray,
+                  owner=None) -> PallasKeySwitch:
     return _get(ext_primes, n, n_key, alpha, n_groups,
                 conv_mont.astype(np.uint32).tobytes(),
-                tuple(conv_mont.shape))
+                tuple(conv_mont.shape),
+                None if owner is None else tuple(int(t) for t in owner))

@@ -285,6 +285,11 @@ class TestFusedPallasKeySwitch:
                                          out_ntt=out_ntt)
         np.testing.assert_array_equal(np.asarray(ref0), np.asarray(got0))
         np.testing.assert_array_equal(np.asarray(ref1), np.asarray(got1))
+        # Own-row NTT skip (poly_ntt provided) must not change a bit.
+        own0, own1 = jp._ks_fused_coeffs(coeffs, level, ks.relin,
+                                         out_ntt=out_ntt, poly_ntt=poly_j)
+        np.testing.assert_array_equal(np.asarray(ref0), np.asarray(own0))
+        np.testing.assert_array_equal(np.asarray(ref1), np.asarray(own1))
 
 
 class TestDeviceKeygen:
