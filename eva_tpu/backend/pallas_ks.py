@@ -42,29 +42,30 @@ from .pallas_ntt import (PallasNTTTables, _sub_ct_merged, _sub_dif,
 LANES = 128
 
 
-def _ntt_row(x, corr, st1, st2, q, n1, n2):
+def _ntt_row(x, corr, st1_stages, st2, q, n1, n2):
     """Forward negacyclic NTT of one [n1, n2] row (four-step, in VMEM).
     The twist is merged into st1 (Harvey form) and psi^c into corr;
-    requires reduced input. corr: [2, n1, n2] Shoup pairs; st1
-    merged-psi packed [2, n1, 1]; st2 cyclic packed [2, n2, 1]."""
-    x = _sub_ct_merged(x, st1, q, n1)
+    requires reduced input. corr: [2, n1, n2] Shoup pairs; st1_stages:
+    per-stage merged-psi [2, m, t, 1] pairs; st2 cyclic packed
+    [2, n2, 1]."""
+    x = _sub_ct_merged(x, st1_stages, q, n1)
     x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
     x = _sub_dif(x, st2, q, n2)
     return x.swapaxes(-1, -2)
 
 
-def _intt_row(x, corr, st1, st2, q, n1, n2):
+def _intt_row(x, corr, st1_stages, st2, q, n1, n2):
     """Inverse negacyclic NTT of one [n1, n2] row (untwist merged into
-    st1; psi^-c and N^-1 merged into corr)."""
+    st1_stages; psi^-c and N^-1 merged into corr)."""
     x = x.swapaxes(-1, -2)
     x = _sub_dit(x, st2, q, n2)
     x = shoup_mul(x, corr[0], corr[1], q)
     x = x.swapaxes(-1, -2)
-    return _sub_gs_merged(x, st1, q, n1)
+    return _sub_gs_merged(x, st1_stages, q, n1)
 
 
-def _mac_kernel(alpha, n1, n2, have_own=False):
+def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
     """MAC grid step (batch, basis row i, digit group j).
 
     With have_own, the digit's OWN data rows skip the FBE + NTT entirely:
@@ -77,10 +78,13 @@ def _mac_kernel(alpha, n1, n2, have_own=False):
     def kernel(*refs):
         if have_own:
             (y_ref, xntt_ref, k0_ref, k1_ref, conv_ref, owner_ref, qs_ref,
-             corr_ref, st1_ref, st2_ref, acc0_ref, acc1_ref) = refs
+             corr_ref) = refs[:8]
+            rest = refs[8:]
         else:
-            (y_ref, k0_ref, k1_ref, conv_ref, qs_ref,
-             corr_ref, st1_ref, st2_ref, acc0_ref, acc1_ref) = refs
+            (y_ref, k0_ref, k1_ref, conv_ref, qs_ref, corr_ref) = refs[:6]
+            rest = refs[6:]
+        st1_refs = rest[:n_st]
+        st2_ref, acc0_ref, acc1_ref = rest[n_st:]
         i = pl.program_id(1)
         j = pl.program_id(2)
         q = qs_ref[i, 0]
@@ -107,8 +111,8 @@ def _mac_kernel(alpha, n1, n2, have_own=False):
                 d = add_mod(
                     d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i],
                                 q, nqinv), q)
-            return _ntt_row(d, corr_ref[0], st1_ref[0], st2_ref[0], q,
-                            n1, n2)
+            return _ntt_row(d, corr_ref[0], tuple(r[0] for r in st1_refs),
+                            st2_ref[0], q, n1, n2)
 
         if have_own:
             is_own = owner_ref[i, 0] == j
@@ -126,17 +130,21 @@ def _mac_kernel(alpha, n1, n2, have_own=False):
     return kernel
 
 
-def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
+def _epilogue_kernel(n_ext, n_key, n1, n2, n_st, out_ntt):
     n_out = n_ext - n_key
 
-    def kernel(acc_ref, qs_ref, pdiv_ref,
-               cori_ref, st1i_ref, st2i_ref,
-               corf_ref, st1f_ref, st2f_ref, out_ref):
+    def kernel(*refs):
+        acc_ref, qs_ref, pdiv_ref, cori_ref = refs[:4]
+        sti_refs = refs[4:4 + n_st]
+        corf_ref = refs[4 + n_st]
+        stf_refs = refs[5 + n_st:5 + 2 * n_st]
+        st2i_ref, st2f_ref, out_ref = refs[5 + 2 * n_st:]
         rows = []
         for r in range(n_ext):
             q = qs_ref[r, 0]
             rows.append(_intt_row(acc_ref[0, 0, r], cori_ref[r],
-                                  st1i_ref[r], st2i_ref[r], q, n1, n2))
+                                  tuple(s[r] for s in sti_refs),
+                                  st2i_ref[r], q, n1, n2))
 
         # Divide-and-round by each key prime (executor_jax._divide_last).
         n_rem = n_ext
@@ -158,8 +166,8 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, out_ntt):
             if out_ntt:
                 q = qs_ref[r, 0]
                 out_ref[0, 0, r] = _ntt_row(rows[r], corf_ref[r],
-                                            st1f_ref[r], st2f_ref[r], q,
-                                            n1, n2)
+                                            tuple(s[r] for s in stf_refs),
+                                            st2f_ref[r], q, n1, n2)
             else:
                 out_ref[0, 0, r] = rows[r]
 
@@ -223,8 +231,9 @@ class PallasEpilogue:
             return pl.BlockSpec(shape, lambda b, p: (0,) * nd,
                                 memory_space=pltpu.VMEM)
 
+        n_st = len(t.msti_stages)
         out = pl.pallas_call(
-            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, out_ntt),
+            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, n_st, out_ntt),
             grid=grid,
             interpret=self._interpret(),
             in_specs=[
@@ -235,19 +244,21 @@ class PallasEpilogue:
                 pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
                              memory_space=pltpu.SMEM),
                 full(t.mcorr_i.shape),
-                full(t.mst1_i.shape + (1,)),
-                full(t.st2_i.shape + (1,)),
+                *[full(s.shape) for s in t.msti_stages],
                 full((self.n_out,) + t.mcorr_f.shape[1:]),
-                full((self.n_out,) + t.mst1_f.shape[1:] + (1,)),
+                *[full((self.n_out,) + s.shape[1:])
+                  for s in t.mstf_stages],
+                full(t.st2_i.shape + (1,)),
                 full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
             ],
             out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
                                    memory_space=pltpu.VMEM),
             out_shape=out_shape,
         )(acc, self.qs, self.pdiv,
-          t.mcorr_i, t.mst1_i[..., None], t.st2_i[..., None],
+          t.mcorr_i, *t.msti_stages,
           t.mcorr_f[:self.n_out],
-          t.mst1_f[:self.n_out, ..., None], t.st2_f[:self.n_out, ..., None])
+          *[s[:self.n_out] for s in t.mstf_stages],
+          t.st2_i[..., None], t.st2_f[:self.n_out, ..., None])
         return (out[:, 0].reshape(B, self.n_out, self.n),
                 out[:, 1].reshape(B, self.n_out, self.n))
 
@@ -328,17 +339,21 @@ class PallasKeySwitch(PallasEpilogue):
                                          lambda b, i, j: (0, 0),
                                          memory_space=pltpu.SMEM))
             args.append(self.owner)
+        def tabidx5(b, i, j):
+            return (i, 0, 0, 0, 0)
+
         in_specs += [
             pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2, n1, 1), tabidx, memory_space=pltpu.VMEM),
+            *[pl.BlockSpec((1,) + s.shape[1:], tabidx5,
+                           memory_space=pltpu.VMEM)
+              for s in t.mstf_stages],
             pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
         ]
-        args += [self.qs, t.mcorr_f, t.mst1_f[..., None],
-                 t.st2_f[..., None]]
+        args += [self.qs, t.mcorr_f, *t.mstf_stages, t.st2_f[..., None]]
         acc0, acc1 = pl.pallas_call(
-            _mac_kernel(self.alpha, n1, n2, have_own),
+            _mac_kernel(self.alpha, n1, n2, len(t.mstf_stages), have_own),
             grid=grid,
             interpret=self._interpret(),
             in_specs=in_specs,

@@ -84,6 +84,7 @@ class PallasNTTTables:
         # unscaled — N^-1 lives in mcorr_inv).
         mst1_f = np.empty((n_sub, 2, n1), dtype=np.uint32)
         mst1_i = np.empty((n_sub, 2, n1), dtype=np.uint32)
+        rp_all, ip_all = [], []
         mcorr_f = np.empty((n_sub, 2, n1, n2), dtype=np.uint32)
         mcorr_i = np.empty((n_sub, 2, n2, n1), dtype=np.uint32)
 
@@ -152,6 +153,8 @@ class PallasNTTTables:
                            for i in range(n1)], dtype=np.uint64)
             mst1_f[li] = shoup_stack(rp, q)
             mst1_i[li] = shoup_stack(ip, q)
+            rp_all.append(rp)
+            ip_all.append(ip)
             # corr' = corr * psi^c (forward); corr_inv' = corr_inv *
             # psi^-c * N^-1 (inverse; c is the lane index = axis 0 of
             # the [n2, n1] layout corr_inv applies in).
@@ -173,6 +176,37 @@ class PallasNTTTables:
         self.mst1_f, self.mst1_i = mst1_f, mst1_i
         self.mcorr_f, self.mcorr_i = mcorr_f, mcorr_i
 
+        # Per-STAGE merged twiddles, pre-expanded to [n_sub, 2, m, t, 1]
+        # so the in-kernel multiply broadcasts along LANES ONLY. Mosaic
+        # cannot lower a (1,1)->(t,lanes) broadcast (both sublanes and
+        # lanes), which the packed [size]-vector form required at every
+        # stage with t > 1.
+        def stage_expand(vals_all, shapes):
+            out = []
+            for (m, t) in shapes:
+                arr = np.empty((n_sub, 2, m, t, 1), dtype=np.uint32)
+                for li, q in enumerate(primes):
+                    pair = shoup_stack(vals_all[li][m:2 * m], q)  # [2, m]
+                    arr[li] = np.broadcast_to(pair[:, :, None, None],
+                                              (2, m, t, 1))
+                out.append(arr)
+            return out
+
+        fwd_shapes = []
+        m, t = 1, n1
+        while m < n1:
+            t >>= 1
+            fwd_shapes.append((m, t))
+            m <<= 1
+        inv_shapes = []
+        m, t = n1 >> 1, 1
+        while m >= 1:
+            inv_shapes.append((m, t))
+            m >>= 1
+            t <<= 1
+        self.mstf_stages = stage_expand(rp_all, fwd_shapes)
+        self.msti_stages = stage_expand(ip_all, inv_shapes)
+
 
 def _sub_dif(x, st, q, size):
     """DIF sub-DFT along axis 0 (natural in, bit-reversed out).
@@ -193,19 +227,20 @@ def _sub_dif(x, st, q, size):
     return x
 
 
-def _sub_ct_merged(x, st, q, size):
+def _sub_ct_merged(x, st_stages, q, size):
     """Merged-psi negacyclic sub-NTT along axis -2 (natural in,
     bit-reversed out): Harvey/SEAL schedule with the twist folded into
-    the stage twiddles — st[_, m+i] = psi1^rev(m+i) Shoup pairs, one
-    CONSTANT twiddle per butterfly block. Requires reduced input
-    (u < q): the u+v butterfly has no reducing multiply on u."""
+    the stage twiddles. st_stages[s] = [2, m, t, 1] pre-expanded Shoup
+    pairs (psi1^rev(m+i) repeated across t) so the multiply broadcasts
+    along lanes only. Requires reduced input (u < q): the u+v butterfly
+    has no reducing multiply on u."""
     lead = x.shape[:-2]
     lanes = x.shape[-1]
     m, t = 1, size
-    while m < size:
+    for st in st_stages:
         t >>= 1
-        w = st[0, m:2 * m][..., None]    # [m, 1, 1]
-        wp = st[1, m:2 * m][..., None]
+        w = st[0]                        # [m, t, 1]
+        wp = st[1]
         xr = x.reshape(lead + (m, 2 * t, lanes))
         lo = xr[..., :t, :]
         hi = shoup_mul(xr[..., t:, :], w, wp, q)
@@ -213,19 +248,21 @@ def _sub_ct_merged(x, st, q, size):
             (add_mod(lo, hi, q), sub_mod(lo, hi, q)),
             axis=-2).reshape(lead + (size, lanes))
         m <<= 1
+    assert m == size
     return x
 
 
-def _sub_gs_merged(x, st, q, size):
+def _sub_gs_merged(x, st_stages, q, size):
     """Merged-psi^-1 negacyclic inverse along axis -2 (bit-rev in,
     natural out), UNSCALED — the size^-1 factor lives in the caller's
-    correction table. st[_, m+i] = psi1^-rev(m+i) Shoup pairs."""
+    correction table. st_stages[s] = [2, m, t, 1] pre-expanded
+    psi1^-rev(m+i) Shoup pairs."""
     lead = x.shape[:-2]
     lanes = x.shape[-1]
     m, t = size >> 1, 1
-    while m >= 1:
-        w = st[0, m:2 * m][..., None]
-        wp = st[1, m:2 * m][..., None]
+    for st in st_stages:
+        w = st[0]
+        wp = st[1]
         xr = x.reshape(lead + (m, 2 * t, lanes))
         lo = xr[..., :t, :]
         hi = xr[..., t:, :]
@@ -234,6 +271,7 @@ def _sub_gs_merged(x, st, q, size):
             axis=-2).reshape(lead + (size, lanes))
         m >>= 1
         t <<= 1
+    assert m == 0
     return x
 
 
@@ -255,12 +293,15 @@ def _sub_dit(x, st, q, size):
     return x
 
 
-def _fwd_kernel(n1, n2):
-    def kernel(x_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+def _fwd_kernel(n1, n2, n_st):
+    def kernel(x_ref, corr_ref, *rest):
+        st1_refs = rest[:n_st]
+        st2_ref, qs_ref, out_ref = rest[n_st:]
         limb = pl.program_id(0)
         q = qs_ref[limb, 0]
+        sts = tuple(r[0] for r in st1_refs)            # [2, m, t, 1] each
         x = x_ref[:, 0]                                # [C, n1, n2]
-        x = _sub_ct_merged(x, st1_ref[0], q, n1)       # twist-merged k1 DFT
+        x = _sub_ct_merged(x, sts, q, n1)              # twist-merged k1 DFT
         x = shoup_mul(x, corr_ref[0, 0], corr_ref[0, 1], q)  # corr * psi^c
         x = x.swapaxes(-1, -2)                         # [C, n2, n1]
         x = _sub_dif(x, st2_ref[0], q, n2)             # column DFT (k2)
@@ -268,17 +309,20 @@ def _fwd_kernel(n1, n2):
     return kernel
 
 
-def _inv_kernel(n1, n2):
-    def kernel(x_ref, corr_ref, st1_ref, st2_ref, qs_ref, out_ref):
+def _inv_kernel(n1, n2, n_st):
+    def kernel(x_ref, corr_ref, *rest):
+        st1_refs = rest[:n_st]
+        st2_ref, qs_ref, out_ref = rest[n_st:]
         limb = pl.program_id(0)
         q = qs_ref[limb, 0]
+        sts = tuple(r[0] for r in st1_refs)
         x = x_ref[:, 0]                                # [C, n1, n2] bit-rev
         x = x.swapaxes(-1, -2)                         # [C, n2, n1]
         x = _sub_dit(x, st2_ref[0], q, n2)             # inverse over k2
         # corr_inv * psi^-c * N^-1
         x = shoup_mul(x, corr_ref[0, 0], corr_ref[0, 1], q)
         x = x.swapaxes(-1, -2)                         # [C, n1, n2]
-        out_ref[:, 0] = _sub_gs_merged(x, st1_ref[0], q, n1)  # untwist-merged
+        out_ref[:, 0] = _sub_gs_merged(x, sts, q, n1)  # untwist-merged
     return kernel
 
 
@@ -292,7 +336,7 @@ class PallasNTT:
         # Scalar params per limb: (q, nqinv).
         self.qs = np.stack([self.t.q, self.t.nqinv], axis=1)  # [n_sub, 2]
 
-    def _call(self, x, kernel_factory, corr, st1, st2):
+    def _call(self, x, kernel_factory, corr, st1_stages, st2):
         t = self.t
         n1, n2 = t.n1, t.n2
         lead = x.shape[:-1]
@@ -305,7 +349,7 @@ class PallasNTT:
                 chunk = c
                 break
         grid = (n_sub, batch // chunk)
-        kernel = kernel_factory(n1, n2)
+        kernel = kernel_factory(n1, n2, len(st1_stages))
         interpret = jax.default_backend() != "tpu"
 
         def limb_first(shape):
@@ -322,7 +366,7 @@ class PallasNTT:
                 pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
                              memory_space=pltpu.VMEM),
                 limb_first(corr.shape),
-                limb_first(st1.shape + (1,)),
+                *[limb_first(s.shape) for s in st1_stages],
                 limb_first(st2.shape + (1,)),
                 pl.BlockSpec((n_sub, 2), lambda l, b: (0, 0),
                              memory_space=pltpu.SMEM),
@@ -330,17 +374,17 @@ class PallasNTT:
             out_specs=pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((batch, n_sub, n1, n2), jnp.uint32),
-        )(xr, corr, st1[..., None], st2[..., None], self.qs)
+        )(xr, corr, *st1_stages, st2[..., None], self.qs)
         return out.reshape(*lead, self.n)
 
     def ntt(self, x):
         """Requires REDUCED input planes (x < q per row)."""
         t = self.t
-        return self._call(x, _fwd_kernel, t.mcorr_f, t.mst1_f, t.st2_f)
+        return self._call(x, _fwd_kernel, t.mcorr_f, t.mstf_stages, t.st2_f)
 
     def intt(self, x):
         t = self.t
-        return self._call(x, _inv_kernel, t.mcorr_i, t.mst1_i, t.st2_i)
+        return self._call(x, _inv_kernel, t.mcorr_i, t.msti_stages, t.st2_i)
 
 
 @lru_cache(maxsize=None)
