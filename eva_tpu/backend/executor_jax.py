@@ -1432,6 +1432,66 @@ class JaxProgram:
                         [pl[b] for pl in planes], p.level, p.scale)
         return results
 
+    def run_pipelined(self, host_values_iter, depth: int = 2):
+        """Generator over per-execution outputs, overlapping upload,
+        device compute, and device->host fetch across consecutive
+        executions.
+
+        JAX dispatch is asynchronous: each execution is enqueued
+        immediately and its output transfers are started with
+        copy_to_host_async, so while the host blocks fetching execution
+        k's outputs the device is already computing executions
+        k+1..k+depth. This is the serving loop's shape — the reference's
+        pipeline-across-trust-domains (SURVEY.md §2.9 item 3) runs the
+        server role at full device utilization even when the host link
+        is slow (on the tunnel, output fetch costs ~15x the compute).
+
+        `depth` bounds in-flight executions (device memory: one set of
+        output ciphertexts each)."""
+        import collections
+
+        pending = collections.deque()
+
+        def dispatch(host_values):
+            cipher_in, plain_in = {}, {}
+            for idx, v in host_values.items():
+                if isinstance(v, Ciphertext):
+                    cipher_in[f"t{idx}"] = self._upload(
+                        v, lambda ct: [jnp.asarray(_to_u32(c))
+                                       for c in ct.polys])
+                elif isinstance(v, Plaintext):
+                    plain_in[f"t{idx}"] = self._upload(
+                        v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
+            out = self._jitted(cipher_in, plain_in)
+            for planes in out.values():
+                for c in planes:
+                    try:
+                        c.copy_to_host_async()
+                    except (AttributeError, RuntimeError):
+                        pass  # fetched synchronously in collect
+            return out
+
+        def collect(out):
+            result = {}
+            for name, t in self.program.outputs.items():
+                if self.types[t] == Type.Raw:
+                    continue
+                planes = [np.asarray(c).astype(np.uint64)
+                          for c in out[name]]
+                p = self.plan[t.index]
+                if self.types[t] == Type.Plain:
+                    result[name] = Plaintext(planes[0], p.level, p.scale)
+                else:
+                    result[name] = Ciphertext(planes, p.level, p.scale)
+            return result
+
+        for hv in host_values_iter:
+            pending.append(dispatch(hv))
+            if len(pending) > depth:
+                yield collect(pending.popleft())
+        while pending:
+            yield collect(pending.popleft())
+
     def run(self, host_values: Dict[int, object]) -> Dict[str, Ciphertext]:
         """host_values: term index -> Ciphertext (inputs) or Plaintext
         (inputs + encodes, already host-encoded). Returns output name ->

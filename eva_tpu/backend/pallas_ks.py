@@ -236,6 +236,13 @@ class PallasEpilogue:
             _epilogue_kernel(self.n_ext, self.n_key, n1, n2, n_st, out_ntt),
             grid=grid,
             interpret=self._interpret(),
+            # The per-step working set (n_ext acc planes + both corr
+            # tables + n_ext live rows) sits near Mosaic's default 16 MB
+            # scoped-vmem cap at n_ext=14; raise the cap so surrounding-
+            # program buffer pressure cannot tip the compile over (v5e
+            # VMEM is 128 MiB).
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024),
             in_specs=[
                 pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
                              memory_space=pltpu.VMEM),

@@ -111,6 +111,16 @@ class EVAPublic:
         results = self._executor_for(program).run_batch(inputs_list, mesh=mesh)
         return [EVAValuation(self.params, r) for r in results]
 
+    def execute_pipelined(self, program, inputs_iter, depth: int = 2):
+        """Stream executions of one compiled program over an iterable of
+        input valuations (jax backend), yielding one EVAValuation per
+        input in order. Up to `depth` executions are kept in flight, so
+        host-side encoding, device compute, and output fetch overlap —
+        the serving-loop shape of the 4-role protocol's server role."""
+        ex = self._executor_for(program)
+        for out in ex.run_pipelined(inputs_iter, depth=depth):
+            yield EVAValuation(self.params, out)
+
 
 class EVASecret:
     """Secret context: decryption.

@@ -232,6 +232,29 @@ class Executor:
                     results[b][name] = raw_vals[t.operands[0].index]
         return results
 
+    def run_pipelined(self, inputs_iter, depth: int = 2):
+        """Generator: one output dict per input valuation, in order,
+        with host encode, device compute, and output fetch overlapped
+        across consecutive executions (jax backend only)."""
+        assert self.backend == "jax", "pipelined execution requires jax"
+        import collections
+
+        raw_q: collections.deque = collections.deque()
+
+        def hv_iter():
+            for inputs in inputs_iter:
+                hv, raws = self._host_phase(inputs)
+                raw_q.append(raws)
+                yield hv
+
+        jp = self._get_jax_program()
+        for outputs in jp.run_pipelined(hv_iter(), depth=depth):
+            raw_vals = raw_q.popleft()
+            for name, t in self.program.outputs.items():
+                if self.types[t] == Type.Raw:
+                    outputs[name] = raw_vals[t.operands[0].index]
+            yield outputs
+
     def _host_phase(self, inputs: Dict):
         """Compute Raw subgraphs and plaintext encodes on host; returns
         (host_values for the device program, raw term values)."""

@@ -85,6 +85,35 @@ class TestJaxEndToEnd:
         prog.set_input_scales(30)
         compile_and_check(prog, backend="jax")
 
+    def test_execute_pipelined_matches_sequential(self):
+        """execute_pipelined must yield, in order, ciphertexts
+        bit-identical to per-call execute for the same inputs."""
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+
+        prog = EvaProgram("jaxpipe", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", (x << 1) * x + 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        rng = np.random.default_rng(3)
+        encs = [pub.encrypt({"x": rng.uniform(-1, 1, 8).tolist()}, sig)
+                for _ in range(5)]
+        seq = [pub.execute(compiled, e) for e in encs]
+        piped = list(pub.execute_pipelined(compiled, iter(encs), depth=2))
+        assert len(piped) == len(seq)
+        for s, p in zip(seq, piped):
+            for name in s:
+                cs, cp = s[name], p[name]
+                assert cs.scale == cp.scale and cs.level == cp.level
+                for a, b in zip(cs.polys, cp.polys):
+                    assert np.array_equal(a, b)
+
 
 class TestPallasNTT:
     """Four-step Pallas kernel vs host tables (interpret mode on CPU;
