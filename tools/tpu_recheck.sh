@@ -13,6 +13,10 @@ echo "== key-switch bit-exactness on TPU (incl. DevPerm parity) ==" | tee -a "$L
 timeout 900 python -u tools/verify_ks_tpu.py >> "$LOG" 2>&1 \
   && echo ok || echo "VERIFY FAILED — see $LOG"
 
+echo "== on-device fuzz smoke (Mosaic lowering coverage) ==" | tee -a "$LOG"
+timeout 900 python -u tools/fuzz_tpu.py 4 >> "$LOG" 2>&1 \
+  && echo ok || echo "FUZZ FAILED — see $LOG"
+
 echo "== per-kernel roofline ==" | tee -a "$LOG"
 timeout 900 python -u -m eva_tpu.profiling >> "$LOG" 2>&1
 
