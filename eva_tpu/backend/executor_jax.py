@@ -484,9 +484,11 @@ def device_keys(ctx: CKKSContext, keys: K.KeySet) -> DeviceKeys:
 class JaxProgram:
     """Traces a compiled EVA program into a single jitted function."""
 
-    # Digit-parallel context; class default so tool shims built via
-    # __new__ (bench/verify scripts) take the single-device path.
+    # Digit-parallel / sequence-parallel contexts; class defaults so
+    # tool shims built via __new__ (bench/verify scripts) take the
+    # single-device path.
     _dp = None
+    _seq = None
 
     def __init__(self, program: Program, ctx: CKKSContext, keys: K.KeySet,
                  plan, types, order: List[Term]):
@@ -513,6 +515,7 @@ class JaxProgram:
             and len(t.operands[0].uses) == 1}
         self._hoisted_sources = rotation_hoist_sources(order)
         self._dp = None  # digit-parallel context (set during dp traces)
+        self._seq = None  # sequence-parallel context (seq-mesh traces)
         self._jit_cache: Dict[Tuple, object] = {}
         self._sharded_cache: Dict[int, object] = {}
         # Device-upload cache: program constants (encode-cache Plaintexts)
@@ -671,6 +674,16 @@ class JaxProgram:
         finally:
             self._dp = None
 
+    def _body_seq(self, cipher_in, plain_in, axis, n_dev: int):
+        """Trace the program with the sequence-parallel (sharded ring
+        axis) context installed; inputs are shard-local evaluation-domain
+        planes [..., n_sub, N/n_dev]."""
+        self._seq = {"axis": axis, "n_dev": n_dev}
+        try:
+            return self._traced(cipher_in, plain_in)
+        finally:
+            self._seq = None
+
     def _sharded_jit(self, mesh, cipher_in, plain_in,
                      plain_unbatched=frozenset()):
         """jit(shard_map(traced)) for a mesh, cached per mesh (Pallas
@@ -700,11 +713,39 @@ class JaxProgram:
                      {k: (P() if k in plain_unbatched else P(bax))
                       for k in plain_in})
             n_dp = mesh.shape.get("limb", 1)
+            n_seq = mesh.shape.get("seq", 1)
             use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
                       and self._ks_sites())
             from jax.sharding import NamedSharding
             repl = NamedSharding(mesh, P())
-            if not use_dp:
+            if n_seq > 1:
+                from ..parallel.seq_exec import seq_compatible
+                if self.k != 1:
+                    raise ValueError(
+                        "seq mesh axis: sharded big-vector programs "
+                        "(vec_size > N/2) are not supported")
+                if n_dp > 1:
+                    raise ValueError(
+                        "mesh cannot have both limb > 1 and seq > 1")
+                if not seq_compatible(self.ctx.n, n_seq):
+                    raise ValueError(
+                        f"ring size {self.ctx.n} cannot shard over "
+                        f"{n_seq} devices (needs 128 | N/128 % seq == 0)")
+                seq_specs = (
+                    jax.tree.map(lambda _: P(bax, None, "seq"), cipher_in),
+                    {k: (P(None, "seq") if k in plain_unbatched
+                         else P(bax, None, "seq"))
+                     for k in plain_in})
+                out_specs = jax.tree.map(
+                    lambda _: P(bax, None, "seq"),
+                    jax.eval_shape(self._traced, cipher_in, plain_in))
+                self._sharded_cache[key] = _hoist_consts_jit(
+                    shard_map(lambda c, p: self._body_seq(c, p, "seq",
+                                                          n_seq),
+                              mesh=mesh, in_specs=seq_specs,
+                              out_specs=out_specs, check_rep=False),
+                    (cipher_in, plain_in), const_sharding=repl)
+            elif not use_dp:
                 out_specs = jax.tree.map(
                     lambda _: P(bax),
                     jax.eval_shape(self._traced, cipher_in, plain_in))
@@ -751,12 +792,32 @@ class JaxProgram:
 
     # -- device op helpers ---------------------------------------------------
 
+    def _lops(self, primes) -> DeviceLevelOps:
+        """level_ops, sequence-parallel aware: with the seq context
+        installed (ring axis N sharded over a mesh axis), transforms
+        route through the all-to-all ShardedNTT; elementwise ops are
+        unchanged (per-row constants broadcast over the local N/D)."""
+        if self._seq is not None:
+            from ..parallel.seq_exec import get_seq_ops
+            return get_seq_ops(tuple(primes), self.ctx.n,
+                               self._seq["axis"], self._seq["n_dev"])
+        return level_ops(list(primes), self.ctx.n)
+
+    def _aperm(self, g: int):
+        """Galois automorphism applicator; in seq mode the N-permutation
+        is lifted over the sharded ring axis (gather + perm + slice)."""
+        base = dev_perm(self.ctx, g)
+        if self._seq is None:
+            return base
+        from ..parallel.seq_exec import seq_perm
+        return seq_perm(base, self._seq["axis"], self._seq["n_dev"])
+
     def _ops_at(self, level: int) -> DeviceLevelOps:
-        return level_ops(self.ctx.primes_at_level(level), self.ctx.n)
+        return self._lops(self.ctx.primes_at_level(level))
 
     def _ext_ops_at(self, level: int) -> DeviceLevelOps:
-        return level_ops(self.ctx.primes_at_level(level) + self.ctx.key_primes,
-                         self.ctx.n)
+        return self._lops(self.ctx.primes_at_level(level)
+                          + self.ctx.key_primes)
 
     def _ks_fbe_y(self, coeffs, level: int, alpha: int):
         """Shared key-switch prologue: y_t = [d_t * (Qg_t/q_t)^-1]_{q_t},
@@ -770,7 +831,7 @@ class JaxProgram:
         pad = n_groups * alpha - n_cur
         if pad:
             y = jnp.concatenate(
-                [y, jnp.zeros(y.shape[:-2] + (pad, ctx.n), y.dtype)],
+                [y, jnp.zeros(y.shape[:-2] + (pad, y.shape[-1]), y.dtype)],
                 axis=-2)
         return y, n_groups
 
@@ -817,17 +878,17 @@ class JaxProgram:
             ext = self._ext_ops_at(level)
             acc = ext.reduce(jnp.broadcast_to(
                 coeffs[..., :, None, :],
-                coeffs.shape[:-2] + (n_cur, n_ext, ctx.n)))
+                coeffs.shape[:-2] + (n_cur, n_ext, coeffs.shape[-1])))
         else:
             ext = self._ext_ops_at(level)
             _, _, conv_mont = _ks_dev_tables(ctx, level, alpha)
             y, _ = self._ks_fbe_y(coeffs, level, alpha)
             yb = jnp.broadcast_to(
                 y[..., :, None, :],
-                y.shape[:-2] + (n_groups * alpha, n_ext, ctx.n))
+                y.shape[:-2] + (n_groups * alpha, n_ext, y.shape[-1]))
             prod = ext.mul_mont(yb, conv_mont)  # reduces mod basis[i]
             g = prod.reshape(
-                prod.shape[:-3] + (n_groups, alpha, n_ext, ctx.n))
+                prod.shape[:-3] + (n_groups, alpha, n_ext, prod.shape[-1]))
             acc = g[..., 0, :, :]
             for k in range(1, alpha):
                 acc = ext.add(acc, g[..., k, :, :])
@@ -851,7 +912,7 @@ class JaxProgram:
             a_ntt = dev.ntt(a_in)  # [..., n_groups-1, n_cur, N]
         else:
             a_ntt = None
-        b_ntt = level_ops(list(ctx.key_primes), ctx.n).ntt(
+        b_ntt = self._lops(list(ctx.key_primes)).ntt(
             acc[..., :, n_cur:, :])  # [..., n_groups, n_key, N]
         return StructDigits(own, a_ntt, b_ntt, n_groups)
 
@@ -869,8 +930,17 @@ class JaxProgram:
         ctx = self.ctx
         primes = ctx.primes_at_level(level)
         dev = self._ops_at(level)
-        key_ops = level_ops(list(ctx.key_primes), ctx.n)
+        key_ops = self._lops(list(ctx.key_primes))
         ext = self._ext_ops_at(level)
+        if self._seq is not None:
+            # Key planes arrive replicated (full N, evaluation domain =
+            # contiguous flat layout); each device MACs its own slice.
+            from ..parallel.seq_exec import seq_slice
+            ax, nd = self._seq["axis"], self._seq["n_dev"]
+            layout = tuple(
+                tuple(None if k is None else seq_slice(k, ax, nd)
+                      for k in half)
+                for half in layout)
 
         def tree_sum(ops, t):
             while t.shape[-3] > 1:
@@ -918,7 +988,7 @@ class JaxProgram:
             for _ in self.ctx.key_primes:
                 x = self._divide_last(x, prim)
                 prim = prim[:-1]
-            return x if coeff_out else level_ops(prim, ctx.n).ntt(x)
+            return x if coeff_out else self._lops(prim).ntt(x)
 
         return div_p(acc0), div_p(acc1)
 
@@ -934,6 +1004,8 @@ class JaxProgram:
         import os
         if os.environ.get("EVA_TPU_NO_FUSED_KS"):
             return False
+        if self._seq is not None:
+            return False  # Pallas kernels see only the local N shard
         if jax.default_backend() != "tpu" or self.ctx.n < 1024:
             return False
         n_ext = (len(self.ctx.primes_at_level(level))
@@ -997,7 +1069,7 @@ class JaxProgram:
         up (see backend notes: x_i + p - lift < 2^32 always)."""
         p = primes[-1]
         rest = primes[:-1]
-        dev = level_ops(rest, self.ctx.n)
+        dev = self._lops(rest)
         lift = coeffs[..., -1, :]  # [..., N] standard residues < p
         flag_high = lift > (p // 2)  # centered lift is negative
         pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
@@ -1023,7 +1095,7 @@ class JaxProgram:
             for _ in entry.primes:
                 x = self._divide_last(x, prim)
                 prim = prim[:-1]
-            out.append(level_ops(prim, ctx.n).ntt(x))
+            out.append(self._lops(prim).ntt(x))
         return out
 
     # -- trace ---------------------------------------------------------------
@@ -1154,7 +1226,7 @@ class JaxProgram:
         entry = ctx.entries_at_level(level)[-1]
         new_primes = primes[:len(primes) - len(entry.primes)]
         dev = self._ops_at(level)
-        dev_new = level_ops(new_primes, ctx.n)
+        dev_new = self._lops(new_primes)
         coeffs0 = dev.intt(polys[0])
         coeffs1 = dev.intt(polys[1])
         if len(polys) == 3:
@@ -1171,7 +1243,7 @@ class JaxProgram:
                 d0, d1 = self._ks_apply(
                     digits, level, self.dkeys.layout(self.keys.relin, level),
                     coeff_out=True)
-            dev_cur = level_ops(primes, ctx.n)
+            dev_cur = self._lops(primes)
             coeffs0 = dev_cur.add(coeffs0, d0)
             coeffs1 = dev_cur.add(coeffs1, d1)
 
@@ -1193,7 +1265,7 @@ class JaxProgram:
         entry = ctx.entries_at_level(level)[-1]
         new_level = level + 1
         new_primes = primes[:len(primes) - len(entry.primes)]
-        dev_new = level_ops(new_primes, ctx.n)
+        dev_new = self._lops(new_primes)
         dev = self._ops_at(level)
         coeffs = []
         for c in polys:
@@ -1245,7 +1317,7 @@ class JaxProgram:
             return self._rotate_sharded(polys, steps, level, dev, hoist,
                                         src_key)
         g = ctx.galois_elt(steps)
-        aperm = dev_perm(ctx, g)
+        aperm = self._aperm(g)
         if self._dp is not None:
             c0 = aperm(polys[0])
             site = f"galois_{g}"
@@ -1383,7 +1455,11 @@ class JaxProgram:
             if mesh is None:
                 return arr
             from ..parallel.sharding import batch_axes
-            return _jax.device_put(arr, NamedSharding(mesh, P(batch_axes(mesh))))
+            if mesh.shape.get("seq", 1) > 1 and arr.ndim == 3:
+                spec = P(batch_axes(mesh), None, "seq")
+            else:
+                spec = P(batch_axes(mesh))
+            return _jax.device_put(arr, NamedSharding(mesh, spec))
 
         cipher_in = {}
         plain_in = {}

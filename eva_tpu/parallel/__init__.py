@@ -20,9 +20,15 @@ plus SIMD slot batching inside each ciphertext. The TPU-native mapping
   * NEW: sharded-N NTT  -> one all-to-all between the two four-step
                            phases when a single polynomial is sharded
                            (ntt_shard.ShardedNTT)
+  * NEW: seq axis       -> the sharded-N form integrated into the jitted
+                           executor ("sp"-like; make_device_mesh
+                           seq_axis=D shards the ring axis of EVERY
+                           polynomial in a compiled program's execution —
+                           the latency-scaling axis; seq_exec)
 """
 
 from .sharding import (make_device_mesh, shard_batch, batch_axes,
                        batch_pipeline_step, replicated)
 from .ks_shard import ShardedKeySwitch
 from .ntt_shard import ShardedNTT, get_sharded_ntt
+from .seq_exec import SeqLevelOps, get_seq_ops, seq_compatible

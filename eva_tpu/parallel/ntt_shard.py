@@ -56,17 +56,22 @@ class ShardedNTT:
         self.axis = axis
         self.n_dev = n_dev
         assert self.n2 % n_dev == 0 and self.n1 % n_dev == 0
-        self.q = jnp.asarray(t.q[:, None, None])  # [n_sub, 1, 1]
-        # Full tables; the local lane/row slice is taken with a dynamic
+        # Tables stay NUMPY so they embed as constants of whichever
+        # trace uses them: instances are lru-cached, and a jnp.asarray
+        # executed while some enclosing jit/make_jaxpr trace is active
+        # would cache that trace's TRACER — poisoning every later trace
+        # that hits the same cache key (the same reason _ks_dev_tables
+        # returns numpy). Local lane/row slices are taken with a dynamic
         # slice at the device's axis index (tables are tiny vs planes).
-        self.tw_fwd = jnp.asarray(t.tw_fwd)     # [n_sub, 2, n1, n2]
-        self.tw_inv = jnp.asarray(t.tw_inv)
-        self.corr_fwd = jnp.asarray(t.corr_fwd)
-        self.corr_inv = jnp.asarray(t.corr_inv)  # [n_sub, 2, n2, n1]
-        self.st1_f = jnp.asarray(t.st1_f[..., None])
-        self.st1_i = jnp.asarray(t.st1_i[..., None])
-        self.st2_f = jnp.asarray(t.st2_f[..., None])
-        self.st2_i = jnp.asarray(t.st2_i[..., None])
+        self.q = t.q[:, None, None]              # [n_sub, 1, 1]
+        self.tw_fwd = t.tw_fwd                   # [n_sub, 2, n1, n2]
+        self.tw_inv = t.tw_inv
+        self.corr_fwd = t.corr_fwd
+        self.corr_inv = t.corr_inv               # [n_sub, 2, n2, n1]
+        self.st1_f = t.st1_f[..., None]
+        self.st1_i = t.st1_i[..., None]
+        self.st2_f = t.st2_f[..., None]
+        self.st2_i = t.st2_i[..., None]
 
     # -- table slicing ---------------------------------------------------
 

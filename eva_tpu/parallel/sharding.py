@@ -7,9 +7,13 @@ Batched ciphertext planes have shape [batch, n_sub, N]:
     NTTs are limb-local; rescale needs the dropped limb's row on every
     limb shard, which XLA lowers to a small all-gather/collective-permute
     over ICI,
-  * `N` stays unsharded (the NTT butterfly would need stage-wise
-    all-to-alls; batch/limb parallelism is cheaper until a single
-    ciphertext no longer fits one chip)."""
+  * `N` shards over the mesh "seq" axis when requested
+    (make_device_mesh seq_axis=D): the whole-graph executor runs every
+    NTT as the two four-step phases with ONE all-to-all between them
+    (seq_exec/ntt_shard) and lifts automorphisms over the shard
+    boundary. Batch/limb parallelism stays cheaper for throughput (no
+    collective on the hot path); the seq axis is the latency lever when
+    a single execution must go faster than one chip."""
 
 from __future__ import annotations
 
@@ -25,30 +29,35 @@ from ..backend.tables import DeviceLevelOps
 
 
 def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
-                     devices=None, hosts: int = 1) -> Mesh:
-    """Mesh over the available devices: ("batch", "limb"), or with
-    hosts > 1 a leading "host" axis ("host", "batch", "limb").
+                     devices=None, hosts: int = 1,
+                     seq_axis: int = 1) -> Mesh:
+    """Mesh over the available devices: ("batch", "limb"), with
+    hosts > 1 a leading "host" axis, and with seq_axis > 1 a trailing
+    "seq" axis (the ring dimension N of every polynomial sharded — the
+    sequence-parallel / latency axis; parallel/seq_exec).
 
     The host axis is the DCN dimension: under jax.distributed each
     process contributes its local devices, jax.devices() returns the
     global list ordered by process, and reshaping (hosts, ...) first
-    puts each host's devices in one "host" row — so "batch"/"limb"
-    collectives ride ICI within a host while only the batch sharding
-    (zero communication) crosses DCN. Executors treat ("host", "batch")
-    together as the batch sharding axes."""
+    puts each host's devices in one "host" row — so "batch"/"limb"/
+    "seq" collectives ride ICI within a host while only the batch
+    sharding (zero communication) crosses DCN. Executors treat
+    ("host", "batch") together as the batch sharding axes."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.array(devices[:n_devices])
-    assert n_devices % (limb_axis * hosts) == 0
+    assert n_devices % (limb_axis * hosts * seq_axis) == 0
+    batch = n_devices // (hosts * limb_axis * seq_axis)
+    shape, names = [batch, limb_axis], ["batch", "limb"]
+    if seq_axis > 1:
+        shape.append(seq_axis)
+        names.append("seq")
     if hosts > 1:
-        return Mesh(
-            devices.reshape(hosts, n_devices // (hosts * limb_axis),
-                            limb_axis),
-            ("host", "batch", "limb"))
-    return Mesh(devices.reshape(n_devices // limb_axis, limb_axis),
-                ("batch", "limb"))
+        shape.insert(0, hosts)
+        names.insert(0, "host")
+    return Mesh(devices.reshape(shape), tuple(names))
 
 
 def batch_axes(mesh: Mesh):

@@ -256,6 +256,57 @@ class TestShardedNTT:
             x.astype(np.uint32).reshape(len(primes), n1, n2))
 
 
+class TestSeqShardedProgram:
+    def test_compiled_program_seq_sharded_bit_identical(self):
+        """A compiled rotation-bearing program executed on a mesh with a
+        "seq" axis shards the ring dimension N of EVERY polynomial: NTTs
+        run as the two four-step phases with one all-to-all between them,
+        automorphisms gather/permute/slice, and all elementwise crypto is
+        shard-local. Ciphertexts must be BIT-IDENTICAL to single-device
+        execution — the integrated form of ShardedNTT (SURVEY §2.9
+        "all-to-all for NTT stage exchanges")."""
+        import random
+        random.seed(93)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("seqp", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + (x << 1) + (x << 3) - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert len(params.rotations) >= 2  # hoisted-rotation source
+        pub, sec = generate_keys(params, backend="jax")
+
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(2)]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+
+        mesh = make_device_mesh(8, seq_axis=4)  # batch=2 x seq=4
+        assert dict(mesh.shape) == {"batch": 2, "limb": 1, "seq": 4}
+        seqs = pub.execute_batch(compiled, encs, mesh=mesh)
+        for a, b in zip(singles, seqs):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        mse = valuation_mse(sec.decrypt(seqs[0], sig),
+                            evaluate(prog, batch_inputs[0]))
+        assert mse < 0.01
+
+    def test_seq_mesh_rejects_limb_combination(self):
+        from eva_tpu.parallel.seq_exec import seq_compatible
+        assert seq_compatible(16384, 8)
+        assert seq_compatible(4096, 4)
+        assert not seq_compatible(512, 4)      # ring too small
+        assert not seq_compatible(16384, 3)    # 128 % 3 != 0
+
+
 class TestHostAxisMesh:
     def test_compiled_program_on_dcn_mesh_bit_identical(self):
         """A ("host", "batch", "limb") mesh — the DCN layout used under
