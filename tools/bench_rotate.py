@@ -6,7 +6,10 @@ iteration consumes the previous result, forcing serialization) and the
 per-op time is the slope between two chain lengths, so dispatch and
 fetch overhead cancel."""
 import os
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
 
 import numpy as np
 import jax

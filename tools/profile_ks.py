@@ -3,7 +3,11 @@
 Repetitions are chained INSIDE one jit (the TPU is behind a remote
 tunnel; per-dispatch latency would otherwise dominate). Per-op time is
 the slope between a K-rep and a 2K-rep compiled chain."""
+import sys
 import time
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
 import numpy as np
 import jax
 import jax.numpy as jnp

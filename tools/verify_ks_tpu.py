@@ -8,6 +8,8 @@ the same matrix without hardware; this script is the fast on-device
 check. Exits nonzero on any mismatch."""
 import sys
 
+sys.path.insert(0, __file__.rsplit("/", 2)[0])  # repo root
+
 import numpy as np
 import jax
 import jax.numpy as jnp
