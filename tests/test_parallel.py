@@ -306,6 +306,30 @@ class TestSeqShardedProgram:
         assert not seq_compatible(512, 4)      # ring too small
         assert not seq_compatible(16384, 3)    # 128 % 3 != 0
 
+    def test_seq_mesh_error_paths(self):
+        """A mesh with both limb>1 and seq>1 is rejected with a clear
+        error (digit-parallel and ring-parallel key switching cannot
+        stack yet), before any tracing starts."""
+        import random
+        random.seed(95)
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+
+        prog = EvaProgram("seqerr", vec_size=8)
+        with prog:
+            x = Input("x")
+            Output("y", x * x + 1)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, _ = generate_keys(params, backend="jax")
+        encs = [pub.encrypt({"x": [0.1] * 8}, sig)]
+        mesh = make_device_mesh(8, limb_axis=2, seq_axis=2)
+        with pytest.raises(ValueError, match="limb > 1 and seq > 1"):
+            pub.execute_batch(compiled, encs, mesh=mesh)
+
 
 class TestHostAxisMesh:
     def test_compiled_program_on_dcn_mesh_bit_identical(self):
