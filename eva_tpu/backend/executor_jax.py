@@ -704,7 +704,7 @@ class JaxProgram:
                             for k, v in cipher_in.items())),
                tuple(sorted((k, v.shape) for k, v in plain_in.items())))
         if key not in self._sharded_cache:
-            from jax.experimental.shard_map import shard_map
+            from ..parallel.sharding import shard_map_compat as shard_map
             from jax.sharding import PartitionSpec as P
             from ..parallel.sharding import batch_axes
             bax = batch_axes(mesh)  # ("host", "batch") on a DCN mesh
@@ -743,7 +743,7 @@ class JaxProgram:
                     shard_map(lambda c, p: self._body_seq(c, p, "seq",
                                                           n_seq),
                               mesh=mesh, in_specs=seq_specs,
-                              out_specs=out_specs, check_rep=False),
+                              out_specs=out_specs),
                     (cipher_in, plain_in), const_sharding=repl)
             elif not use_dp:
                 out_specs = jax.tree.map(
@@ -752,7 +752,7 @@ class JaxProgram:
                 self._sharded_cache[key] = _hoist_consts_jit(
                     shard_map(lambda c, p: self._traced(c, p),
                               mesh=mesh, in_specs=specs,
-                              out_specs=out_specs, check_rep=False),
+                              out_specs=out_specs),
                     (cipher_in, plain_in), const_sharding=repl)
             else:
                 dp_tabs = {}
@@ -780,7 +780,7 @@ class JaxProgram:
                     lambda c, p, t, k: self._body_dp(
                         c, p, t, k, "limb", n_dp),
                     mesh=mesh, in_specs=(specs[0], specs[1]) + dp_specs,
-                    out_specs=out_specs, check_rep=False)
+                    out_specs=out_specs)
                 # dp tables/keys stay explicit shard_map args (sharded
                 # P("limb")); only body-level captures are hoisted.
                 jitted = _hoist_consts_jit(

@@ -206,17 +206,16 @@ class ShardedKeySwitch:
     def __call__(self, poly) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """poly: [n_cur, N] uint32 NTT-domain planes (host or device).
         Returns (d0, d1) NTT-domain planes at the same level."""
-        from jax.experimental.shard_map import shard_map
+        from .sharding import shard_map_compat
 
         if self._jitted is None:
             sharded, repl = self._place()
             mesh, axis = self.mesh, self.axis
 
-            body = shard_map(
+            body = shard_map_compat(
                 self._shard_body, mesh=mesh,
                 in_specs=(P(), P(axis), P(axis), P(axis), P(axis)),
-                out_specs=(P(), P()),
-                check_rep=False)
+                out_specs=(P(), P()))
 
             jitted = jax.jit(body)
             self._jitted = lambda poly: jitted(

@@ -28,6 +28,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..backend.tables import DeviceLevelOps
 
 
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """jax.shard_map across JAX versions: the experimental API's
+    check_rep flag became check_vma when shard_map moved to jax core;
+    replication checking stays OFF (program bodies mix per-shard Pallas
+    calls and explicit collectives the checker cannot type)."""
+    try:
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    except (AttributeError, TypeError):
+        from jax.experimental.shard_map import shard_map
+        return shard_map(f, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_rep=False)
+
+
 def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
                      devices=None, hosts: int = 1,
                      seq_axis: int = 1) -> Mesh:

@@ -219,7 +219,7 @@ class TestShardedNTT:
         stage exchanges"). Bit-exact vs the host tables at N=16384, and
         intt(ntt(x)) round-trips to the input."""
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-        from jax.experimental.shard_map import shard_map
+        from eva_tpu.parallel.sharding import shard_map_compat
         from eva_tpu.crypto.primes import build_chain
         from eva_tpu.crypto.ntt import get_table
         from eva_tpu.parallel.ntt_shard import get_sharded_ntt
@@ -237,14 +237,12 @@ class TestShardedNTT:
                          for i, q in enumerate(primes)])
 
         mesh = Mesh(np.array(jax.devices()[:n_dev]), ("n",))
-        fwd = jax.jit(shard_map(
+        fwd = jax.jit(shard_map_compat(
             sntt.ntt, mesh=mesh,
-            in_specs=P(None, None, "n"), out_specs=P(None, "n", None),
-            check_rep=False))
-        inv = jax.jit(shard_map(
+            in_specs=P(None, None, "n"), out_specs=P(None, "n", None)))
+        inv = jax.jit(shard_map_compat(
             sntt.intt, mesh=mesh,
-            in_specs=P(None, "n", None), out_specs=P(None, None, "n"),
-            check_rep=False))
+            in_specs=P(None, "n", None), out_specs=P(None, None, "n")))
 
         xm = jnp.asarray(x.astype(np.uint32).reshape(len(primes), n1, n2))
         got = fwd(xm)
