@@ -11,6 +11,11 @@ throughput at N=16384 L=6 (the BASELINE.json >=10x target); the
   sobel_ms / sobel_host_ms                  Sobel 90x90 end-to-end execute
                                             (reference workload:
                                             examples/image_processing.py)
+  kernel_sol                                per-kernel us + % of measured
+                                            HBM speed-of-light (NTT, iNTT,
+                                            key-switch stage split, ct-mul,
+                                            rotation) — BASELINE.md's
+                                            per-kernel roofline requirement
 
 Methodology: the device runtime dispatches asynchronously and
 block_until_ready may return before queued work completes (observed on
@@ -18,13 +23,19 @@ the axon tunnel), so device ops are timed as CHAINED executions (each
 iteration consumes the previous result) ending in a host fetch, and the
 per-op time is the slope between two chain lengths — subtracting fetch
 and dispatch overhead. Host baselines are plain wall-clock over the
-synchronous numpy backend."""
+synchronous numpy backend.
+
+Variance: the tunnel drifts +-15% across sessions (ARCHITECTURE.md), so
+every device metric is sampled in PASSES x interleaved rounds (compile
+once, re-measure each round, metrics alternating so drift hits them
+equally); the JSON carries the per-metric MEDIAN plus the raw samples."""
 
 from __future__ import annotations
 
 import json
 import math
 import os
+import statistics
 import sys
 import time
 
@@ -32,6 +43,7 @@ import numpy as np
 
 N = 16384
 L = 6
+PASSES = 3  # interleaved measurement rounds per device metric
 
 # The tunnel to the real TPU can wedge (device calls hang forever at 0%
 # CPU with SIGINT swallowed). The driver needs the JSON line no matter
@@ -40,15 +52,38 @@ L = 6
 # the probe dies; (b) a watchdog thread hard-exits with a JSON line
 # built from partial results if any later device call hangs.
 PROBE_TIMEOUT_S = 120
-WATCHDOG_S = 2400
+WATCHDOG_S = 3000
 _RESULTS: dict = {}
 
 
+def _med(samples):
+    return statistics.median(samples) if samples else 0.0
+
+
+def _spread(samples):
+    return (max(samples) - min(samples)) / _med(samples) if samples else 0.0
+
+
 def _emit(note: str = "") -> None:
-    """Print the one driver-visible JSON line from whatever completed."""
-    ct_mul = _RESULTS.get("ct_mul", 0.0)
+    """Print the one driver-visible JSON line from whatever completed.
+
+    Device metrics live in _RESULTS as sample lists; the emitted value is
+    the median across interleaved passes, with the raw samples preserved
+    in extras for variance inspection."""
+    ct_mul = _med(_RESULTS.get("ct_mul_samples", []))
     ct_mul_host = _RESULTS.get("ct_mul_host", 0.0)
     extras = dict(_RESULTS.get("extras", {}))
+    extras["passes"] = PASSES
+    extras["ct_mul_per_sec"] = round(ct_mul, 2)
+    for key, scale, unit in (("ct_mul", 1.0, "per_sec"),
+                             ("rotation", 1e6, "us"),
+                             ("sobel90", 1e3, "ms")):
+        samples = _RESULTS.get(f"{key}_samples", [])
+        if samples:
+            extras[f"{key}_{unit}"] = round(_med(samples) * scale, 2)
+            extras[f"{key}_samples_{unit}"] = [round(s * scale, 2)
+                                               for s in samples]
+            extras[f"{key}_spread"] = round(_spread(samples), 3)
     if note:
         extras["note"] = note
     print(json.dumps({
@@ -106,8 +141,8 @@ def _planes(primes, n, batch, seed):
     return out
 
 
-def bench_ct_mul_device(on_tpu: bool) -> float:
-    """Chained device ct-ct multiplies; returns ops/sec."""
+def setup_ct_mul(on_tpu: bool):
+    """Compile the chained ct-ct multiply; returns measure() -> ops/sec."""
     import jax
     import jax.numpy as jnp
     from eva_tpu.backend.tables import DeviceLevelOps
@@ -144,8 +179,12 @@ def bench_ct_mul_device(on_tpu: bool) -> float:
         return best
 
     r1, r2 = (10, 90) if on_tpu else (1, 3)
-    per_exec = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-    return batch / per_exec
+
+    def measure() -> float:
+        per_exec = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+        return batch / per_exec
+
+    return measure
 
 
 def bench_ct_mul_host(ctx) -> float:
@@ -168,8 +207,8 @@ def bench_ct_mul_host(ctx) -> float:
     return reps / (time.perf_counter() - t0)
 
 
-def bench_rotation_device(ctx, keys, on_tpu: bool) -> float:
-    """Full Galois rotation (automorphism + key switch) per-op seconds.
+def setup_rotation(ctx, keys, on_tpu: bool):
+    """Compile the batched rotation chain; returns measure() -> sec/op.
 
     Batched (8 rotations per dispatch) and chained at the Python level —
     the same methodology as the ct-mul bench. lax.scan chains measure
@@ -210,8 +249,12 @@ def bench_rotation_device(ctx, keys, on_tpu: bool) -> float:
         return best
 
     r1, r2 = (5, 45) if on_tpu else (1, 3)
-    per_exec = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-    return per_exec / batch
+
+    def measure() -> float:
+        per_exec = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+        return per_exec / batch
+
+    return measure
 
 
 def bench_rotation_host(ctx, keys) -> float:
@@ -259,9 +302,10 @@ def build_sobel(h=90, w=90):
     return prog
 
 
-def bench_sobel(on_tpu: bool):
-    """(compute_seconds, with_io_seconds, batched_evals_per_sec,
-    host_seconds, mse) for steady-state Sobel 90x90 execution.
+def setup_sobel(on_tpu: bool):
+    """Compile the Sobel pipeline; returns (measure() -> compute_seconds,
+    once_extras) where once_extras carries the single-shot numbers
+    (with-IO latency, batched throughput, host baseline, MSE).
 
     compute_seconds times the jitted device graph with the SAME
     chained-dispatch + single-fetch slope methodology as the other
@@ -270,8 +314,7 @@ def bench_sobel(on_tpu: bool):
     ~4 ms; np.asarray of the outputs takes 54 ms), which is test-harness
     I/O, not framework time — output fetch is the client-role decrypt
     hand-off in the 4-role protocol and overlaps the next execution in
-    deployment. with_io_seconds keeps the fetch-inclusive number
-    honest."""
+    deployment. with_io keeps the fetch-inclusive number honest."""
     from eva_tpu import evaluate
     from eva_tpu.ckks import CKKSCompiler
     from eva_tpu.metric import valuation_mse
@@ -296,7 +339,7 @@ def bench_sobel(on_tpu: bool):
 
     # Compute-only: chained dispatches of the jitted graph, one tiny
     # device-side reduction fetched at the end, slope between two chain
-    # lengths (identical methodology to bench_ct_mul_device).
+    # lengths (identical methodology to the ct-mul bench).
     import jax.numpy as jnp
     ex = pub._executors[id(compiled)]
     hv, _ = ex._host_phase(enc)
@@ -329,7 +372,9 @@ def bench_sobel(on_tpu: bool):
         return best
 
     k1, k2 = (3, 9) if on_tpu else (1, 2)
-    dev_s = (chain_time(k2) - chain_time(k1)) / (k2 - k1)
+
+    def measure() -> float:
+        return (chain_time(k2) - chain_time(k1)) / (k2 - k1)
 
     batch = 4
     encs = [enc] * batch
@@ -344,7 +389,124 @@ def bench_sobel(on_tpu: bool):
     t0 = time.perf_counter()
     pub_h.execute(compiled, enc)
     host_s = time.perf_counter() - t0
-    return dev_s, io_s, batched_eps, host_s, mse
+
+    once = {
+        "sobel90_with_io_ms": round(io_s * 1e3, 1),
+        "sobel90_batched_evals_per_sec": round(batched_eps, 2),
+        "sobel90_host_ms": round(host_s * 1e3, 1),
+        "sobel90_mse": mse,
+    }
+    return measure, once
+
+
+def setup_kernel_sol(ctx, keys, on_tpu: bool):
+    """Per-kernel speed-of-light section (BASELINE.md requirement).
+
+    Compiles the hot kernels (forward/inverse NTT; the key-switch stage
+    split: digit decomposition = iNTT+FBE+digit-NTTs, then MAC+epilogue
+    = KSK MACs + iNTT + P-division + output NTT) and the HBM roofline
+    probe; returns measure() -> dict of
+      {kernel: {us, gbs, sol_pct}} + {"hbm_gbs": ...}.
+    Bytes models follow eva_tpu/profiling.py: an NTT reads+writes its
+    planes once (Pallas, VMEM-resident); the key-switch additionally
+    streams the key planes once per digit group."""
+    import jax
+    import jax.numpy as jnp
+    from eva_tpu.backend.executor_jax import (JaxProgram, device_keys,
+                                              level_ops)
+
+    level = 0
+    primes = ctx.primes_at_level(level)
+    n_cur = len(primes)
+    dev = level_ops(primes, N)
+    batch = 8 if on_tpu else 2
+    poly = jnp.asarray(_planes(primes, N, batch, 3))
+    plane_bytes = batch * n_cur * N * 4
+
+    shim = JaxProgram.__new__(JaxProgram)
+    shim.ctx, shim.keys, shim.k = ctx, keys, 1
+    shim.dkeys = device_keys(ctx, keys)
+
+    n_ext = n_cur + len(ctx.key_primes)
+    n_groups = -(-n_cur // keys.ks_alpha)
+    key_bytes = 2 * n_groups * n_ext * N * 4
+    # digit stage: read n_cur planes, write n_groups*n_ext digit planes
+    digit_bytes = batch * (n_cur + n_groups * n_ext) * N * 4
+    # MAC+epilogue: read digit planes + keys once, write 2 output polys
+    mac_bytes = batch * (n_groups * n_ext + 2 * n_cur) * N * 4 + key_bytes
+    rot_bytes = batch * 4 * n_cur * N * 4 + key_bytes
+
+    g = ctx.galois_elt(1)
+    layout = shim.dkeys.layout(keys.galois[g], level)
+
+    steps = {
+        "ntt_fwd": (jax.jit(dev.ntt), 2 * plane_bytes),
+        "intt": (jax.jit(dev.intt), 2 * plane_bytes),
+    }
+
+    @jax.jit
+    def digits_step(p):
+        # Fold a lane-0 scalar from every digit component into the
+        # chained output: lane 0 of an NTT output depends on all inputs,
+        # so none of the digit NTTs can be dead-code-eliminated, while
+        # only d.own pays an extra elementwise pass.
+        d = shim._ks_digits(p, level)
+        extra = jnp.sum(d.b[..., 0].astype(jnp.uint32))
+        if d.a is not None:
+            extra = extra + jnp.sum(d.a[..., 0].astype(jnp.uint32))
+        return d.own + extra
+
+    @jax.jit
+    def apply_step(p):
+        d = shim._ks_digits(p, level)
+        d0, d1 = shim._ks_apply(d, level, layout)
+        return dev.add(d0, d1)
+
+    @jax.jit
+    def rot_step(p):
+        out = shim._rotate([p, p], 1, level, dev, None, None)
+        return dev.add(out[0], out[1])
+
+    steps["ks_digits(intt+fbe+ntt)"] = (digits_step, digit_bytes)
+    steps["ks_full(digits+mac+pdiv)"] = (apply_step, digit_bytes + mac_bytes)
+    steps["rotation"] = (rot_step, rot_bytes)
+
+    red = jax.jit(lambda v: jnp.sum(v >> 31))
+    for name, (fn, _) in steps.items():  # compile everything up front
+        _ = float(red(fn(poly)))
+        print(f"bench: kernel {name} compiled", file=sys.stderr)
+
+    from eva_tpu.profiling import measure_hbm_roofline
+
+    def slope(fn) -> float:
+        def chain_time(reps):
+            best = 1e9
+            for _ in range(2 if on_tpu else 1):
+                cur = poly
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    cur = fn(cur)
+                _ = float(red(cur))
+                best = min(best, time.perf_counter() - t0)
+            return best
+        r1, r2 = (4, 24) if on_tpu else (1, 3)
+        return max((chain_time(r2) - chain_time(r1)) / (r2 - r1), 1e-9)
+
+    def measure() -> dict:
+        hbm = measure_hbm_roofline(jax, jnp)
+        out = {"hbm_gbs": round(hbm / 1e9, 1)}
+        for name, (fn, nbytes) in steps.items():
+            per = slope(fn)
+            out[name] = {"us": round(per / batch * 1e6, 1),
+                         "gbs": round(nbytes / per / 1e9, 1),
+                         "sol_pct": round(100 * nbytes / per / hbm, 1)}
+        # stage split by subtraction: MAC+epilogue = full KS - digits
+        dig = out["ks_digits(intt+fbe+ntt)"]["us"]
+        full = out["ks_full(digits+mac+pdiv)"]["us"]
+        out["ks_mac_epilogue_us"] = round(max(full - dig, 0.0), 1)
+        return out
+
+    return measure
 
 
 def main() -> None:
@@ -359,8 +521,8 @@ def main() -> None:
     from eva_tpu.crypto.context import get_context
 
     on_tpu = jax.default_backend() == "tpu"
-    print(f"bench: backend={jax.default_backend()} N={N} L={L}",
-          file=sys.stderr)
+    print(f"bench: backend={jax.default_backend()} N={N} L={L} "
+          f"passes={PASSES}", file=sys.stderr)
     extras = _RESULTS.setdefault("extras", {})
     extras["baseline"] = ("measured single-thread numpy+C++ host backend "
                           "(SEAL-class CPU implementation) on this machine")
@@ -369,32 +531,56 @@ def main() -> None:
     ctx = get_context(tuple([60] * L + [60]), (1,), N)
     keys = K.generate_keys(ctx)
 
-    ct_mul = bench_ct_mul_device(on_tpu)
-    print(f"bench: ct-mul {ct_mul:.0f}/s", file=sys.stderr)
-    _RESULTS["ct_mul"] = ct_mul
-    extras["ct_mul_per_sec"] = round(ct_mul, 2)
+    # Pass 1: set up + first sample, in artifact-priority order so the
+    # watchdog still leaves usable partials if the tunnel wedges late.
+    measures = {}
+    measures["ct_mul"] = setup_ct_mul(on_tpu)
+    ct0 = measures["ct_mul"]()
+    _RESULTS.setdefault("ct_mul_samples", []).append(ct0)
+    print(f"bench: ct-mul {ct0:.0f}/s (pass 1)", file=sys.stderr)
+
     ct_mul_host = bench_ct_mul_host(ctx)
     print(f"bench: ct-mul host {ct_mul_host:.1f}/s", file=sys.stderr)
     _RESULTS["ct_mul_host"] = ct_mul_host
     extras["ct_mul_host_per_sec"] = round(ct_mul_host, 2)
-    rot = bench_rotation_device(ctx, keys, on_tpu)
-    print(f"bench: rotation {rot*1e6:.0f} us", file=sys.stderr)
-    extras["rotation_us"] = round(rot * 1e6, 1)
+
+    measures["rotation"] = setup_rotation(ctx, keys, on_tpu)
+    r0 = measures["rotation"]()
+    _RESULTS.setdefault("rotation_samples", []).append(r0)
+    print(f"bench: rotation {r0*1e6:.0f} us (pass 1)", file=sys.stderr)
+
     rot_host = bench_rotation_host(ctx, keys)
     print(f"bench: rotation host {rot_host*1e3:.1f} ms", file=sys.stderr)
     extras["rotation_host_us"] = round(rot_host * 1e6, 1)
-    extras["rotation_vs_host"] = round(rot_host / rot, 2)
-    sobel_dev, sobel_io, sobel_eps, sobel_host, sobel_mse = bench_sobel(on_tpu)
-    print(f"bench: sobel {sobel_dev*1e3:.1f} ms compute "
-          f"({sobel_io*1e3:.0f} ms with tunnel IO, batched {sobel_eps:.1f} "
-          f"evals/s, host {sobel_host*1e3:.0f} ms, mse {sobel_mse:.2e})",
-          file=sys.stderr)
-    extras["sobel90_ms"] = round(sobel_dev * 1e3, 2)
-    extras["sobel90_with_io_ms"] = round(sobel_io * 1e3, 1)
-    extras["sobel90_batched_evals_per_sec"] = round(sobel_eps, 2)
-    extras["sobel90_host_ms"] = round(sobel_host * 1e3, 1)
-    extras["sobel90_vs_host"] = round(sobel_host / sobel_dev, 2)
-    extras["sobel90_mse"] = sobel_mse
+
+    measures["sobel90"], sobel_once = setup_sobel(on_tpu)
+    extras.update(sobel_once)
+    s0 = measures["sobel90"]()
+    _RESULTS.setdefault("sobel90_samples", []).append(s0)
+    print(f"bench: sobel {s0*1e3:.1f} ms compute (pass 1; "
+          f"{sobel_once['sobel90_with_io_ms']} ms with tunnel IO, batched "
+          f"{sobel_once['sobel90_batched_evals_per_sec']} evals/s, host "
+          f"{sobel_once['sobel90_host_ms']} ms, "
+          f"mse {sobel_once['sobel90_mse']:.2e})", file=sys.stderr)
+
+    kernel_measure = setup_kernel_sol(ctx, keys, on_tpu)
+    sol = kernel_measure()
+    extras["kernel_sol"] = sol
+    print(f"bench: kernel SoL {json.dumps(sol)}", file=sys.stderr)
+
+    # Passes 2..PASSES: interleave the device metrics so tunnel drift
+    # lands on all of them equally; medians emitted at the end.
+    for p in range(2, PASSES + 1):
+        for name, fn in measures.items():
+            val = fn()
+            _RESULTS[f"{name}_samples"].append(val)
+            print(f"bench: {name} pass {p}: {val:.6g}", file=sys.stderr)
+
+    extras["rotation_vs_host"] = round(
+        rot_host / _med(_RESULTS["rotation_samples"]), 2)
+    extras["sobel90_vs_host"] = round(
+        sobel_once["sobel90_host_ms"] / 1e3
+        / _med(_RESULTS["sobel90_samples"]), 2)
 
     _emit()
 

@@ -23,8 +23,11 @@ class Ciphertext:
     level: int
     scale: float
     # For seeded (symmetric) ciphertexts: c1 was expanded from this seed,
-    # so serialization can ship (c0, seed) at half the size.
+    # so serialization can ship (c0, seed) at half the size. seed_xof
+    # records the wire-format XOF id the seed expands under
+    # (crypto/keys.XOF_*).
     seed: bytes = None
+    seed_xof: int = None
 
     @property
     def size(self) -> int:
@@ -32,7 +35,7 @@ class Ciphertext:
 
     def copy(self) -> "Ciphertext":
         return Ciphertext([p.copy() for p in self.polys], self.level,
-                          self.scale, self.seed)
+                          self.scale, self.seed, self.seed_xof)
 
 
 @dataclass

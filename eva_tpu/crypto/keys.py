@@ -14,7 +14,10 @@ and P decompose into machine sub-primes underneath."""
 
 from __future__ import annotations
 
+import hashlib
+import os
 import secrets
+import struct
 from typing import Dict, List, Sequence
 
 import numpy as np
@@ -23,6 +26,25 @@ from .ciphertext import Ciphertext, Plaintext
 from .context import CKKSContext
 
 ERROR_STDDEV = 3.2
+
+# Wire-format XOF identifiers (serialized with every seeded object).
+XOF_PCG64 = 0     # legacy: NumPy Generator(PCG64) stream (round 1-3 files)
+XOF_SHAKE128 = 1  # SHAKE-128 per-row streams with rejection sampling
+_XOF_NAMES = {"pcg64": XOF_PCG64, "shake128": XOF_SHAKE128}
+
+
+def default_xof() -> int:
+    """XOF used for newly generated seeds: EVA_TPU_XOF, default shake128.
+
+    pcg64 exists only to reproduce pre-round-4 artifacts; its stream
+    depends on NumPy's PCG64 stability guarantee, while SHAKE-128 is
+    defined by FIPS 202 and identical across library versions by
+    construction (SURVEY.md §7 hard part 6)."""
+    name = os.environ.get("EVA_TPU_XOF", "shake128")
+    if name not in _XOF_NAMES:
+        raise ValueError(f"Unknown EVA_TPU_XOF {name!r}; "
+                         f"choose from {sorted(_XOF_NAMES)}")
+    return _XOF_NAMES[name]
 
 
 def _rng() -> np.random.Generator:
@@ -50,10 +72,12 @@ class SecretKey:
 
 
 class PublicKey:
-    def __init__(self, b: np.ndarray, a: np.ndarray, a_seed: bytes = None):
+    def __init__(self, b: np.ndarray, a: np.ndarray, a_seed: bytes = None,
+                 xof: int = XOF_SHAKE128):
         self.b = b  # [n_data, N] NTT
         self.a = a
         self.a_seed = a_seed  # regenerates `a` via expand_uniform
+        self.xof = xof        # XOF id the seed expands under
 
 
 class KSwitchKey:
@@ -64,11 +88,13 @@ class KSwitchKey:
     same grouping, so it travels with the key material."""
 
     def __init__(self, k0: List[np.ndarray], k1: List[np.ndarray],
-                 k1_seeds: List[bytes] = None, alpha: int = 1):
+                 k1_seeds: List[bytes] = None, alpha: int = 1,
+                 xof: int = XOF_SHAKE128):
         self.k0 = k0  # per digit: [n_all, N] NTT
         self.k1 = k1
         self.k1_seeds = k1_seeds  # per digit seeds regenerating k1
         self.alpha = alpha
+        self.xof = xof            # XOF id the seeds expand under
 
 
 class KeySet:
@@ -97,18 +123,52 @@ def _sample_ternary(ctx: CKKSContext, rng) -> np.ndarray:
     return rng.integers(-1, 2, ctx.n, dtype=np.int64)
 
 
-def expand_uniform(ctx: CKKSContext, primes: List[int],
-                   seed: bytes) -> np.ndarray:
+def _shake_row(seed: bytes, row: int, q: int, n: int) -> np.ndarray:
+    """One uniform residue row from a SHAKE-128 stream, domain-separated
+    by row index. Rejection-samples 32-bit words below the largest
+    multiple of q so residues are exactly uniform in [0, q). SHAKE
+    digests are prefix-consistent across lengths, so growing the buffer
+    on a rejection shortfall never changes already-accepted values."""
+    h = hashlib.shake_128(seed + b"EVA-TPU-XOF1" + struct.pack("<I", row))
+    limit = ((1 << 32) // q) * q
+    nbytes = 4 * (int(n * (1 << 32) / limit * 1.03) + 64)
+    while True:
+        words = np.frombuffer(h.digest(nbytes), dtype="<u4")
+        kept = words[words < limit]
+        if len(kept) >= n:
+            return (kept[:n] % np.uint32(q)).astype(np.uint64)
+        nbytes *= 2
+
+
+def _expand_rows(n: int, primes: Sequence[int], seed: bytes, xof: int,
+                 row0: int = 0) -> np.ndarray:
+    """[len(primes), n] uniform residues from `seed` under XOF `xof`.
+    `row0` offsets the SHAKE row domain (for multi-shard expansion)."""
+    out = np.empty((len(primes), n), dtype=np.uint64)
+    if xof == XOF_PCG64:
+        rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
+        for i, q in enumerate(primes):
+            out[i] = rng.integers(0, q, n, dtype=np.uint64)
+    elif xof == XOF_SHAKE128:
+        for i, q in enumerate(primes):
+            out[i] = _shake_row(seed, row0 + i, q, n)
+    else:
+        raise ValueError(f"Unknown XOF id {xof}")
+    return out
+
+
+def expand_uniform(ctx: CKKSContext, primes: List[int], seed: bytes,
+                   xof: int = None) -> np.ndarray:
     """Deterministically expand a seed into uniform NTT-domain residues.
 
     Used for the public `a` components of keys and seeded ciphertexts so
     they serialize as 32-byte seeds; the expansion is part of the wire
-    format."""
-    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
-    out = np.empty((len(primes), ctx.n), dtype=np.uint64)
-    for i, q in enumerate(primes):
-        out[i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
-    return out  # uniform residues are uniform in either domain
+    format, and the XOF id travels with every serialized seed
+    (docs/WIRE_FORMAT.md "Seed expansion")."""
+    if xof is None:
+        xof = default_xof()
+    # uniform residues are uniform in either domain
+    return _expand_rows(ctx.n, primes, seed, xof)
 
 
 def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
@@ -136,6 +196,7 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
     for q in ctx.data_primes:
         Q *= q
     groups = ctx.ks_groups(alpha)
+    xof = default_xof()
     k1_seeds, As, Es = [], [], []
     facs = np.empty((len(groups), len(basis)), dtype=np.uint64)
     for j, group in enumerate(groups):
@@ -148,10 +209,10 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
         facs[j] = [factor % q for q in basis]
         a_seed = secrets.token_bytes(32)
         k1_seeds.append(a_seed)
-        As.append(expand_uniform(ctx, basis, a_seed))
+        As.append(expand_uniform(ctx, basis, a_seed, xof))
         Es.append(_sample_error(ctx, rng))
     k0, k1 = _ksk_compute(ctx, s.s, target_ntt, As, Es, facs, engine)
-    return KSwitchKey(k0, k1, k1_seeds, alpha=alpha)
+    return KSwitchKey(k0, k1, k1_seeds, alpha=alpha, xof=xof)
 
 
 def _ksk_compute(ctx: CKKSContext, s_rows: np.ndarray, target_ntt: np.ndarray,
@@ -200,12 +261,13 @@ def generate_keys(ctx: CKKSContext, alpha: int = None,
 
     # Public key over the data basis.
     pk_seed = secrets.token_bytes(32)
-    a = expand_uniform(ctx, ctx.data_primes, pk_seed)
+    xof = default_xof()
+    a = expand_uniform(ctx, ctx.data_primes, pk_seed, xof)
     e = _small_poly_residues(ctx, _sample_error(ctx, rng), ctx.data_primes)
     qv = ctx.qvec(ctx.data_primes)
     s_data = s.rows(ctx, ctx.data_primes)
     b = (qv - (a * s_data) % qv + e) % qv
-    public = PublicKey(b, a, pk_seed)
+    public = PublicKey(b, a, pk_seed, xof=xof)
 
     # Relinearization key: s^2 -> s.
     s2 = (s.s * s.s) % ctx.qvec(ctx.all_primes)
@@ -279,19 +341,27 @@ def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:
 
 
 def expand_seeded_c1(ctx: CKKSContext, seed: bytes, level: int,
-                     shards: int = 1) -> np.ndarray:
+                     shards: int = 1, xof: int = None) -> np.ndarray:
     """Uniform c1 component for seeded ciphertexts at `level`. For sharded
     big-vector ciphertexts, one seed expands all k shard planes from a
-    single deterministic stream (part of the wire format)."""
+    single deterministic stream — sequential PCG64 draws in the legacy
+    XOF, shard-offset SHAKE row domains otherwise (part of the wire
+    format)."""
+    if xof is None:
+        xof = default_xof()
     primes = ctx.primes_at_level(level)
     if shards == 1:
-        return expand_uniform(ctx, primes, seed)
-    rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
-    out = np.empty((shards, len(primes), ctx.n), dtype=np.uint64)
-    for j in range(shards):
-        for i, q in enumerate(primes):
-            out[j, i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
-    return out
+        return expand_uniform(ctx, primes, seed, xof)
+    if xof == XOF_PCG64:
+        rng = np.random.default_rng(np.frombuffer(seed, dtype=np.uint64))
+        out = np.empty((shards, len(primes), ctx.n), dtype=np.uint64)
+        for j in range(shards):
+            for i, q in enumerate(primes):
+                out[j, i] = rng.integers(0, q, ctx.n, dtype=np.uint64)
+        return out
+    return np.stack([_expand_rows(ctx.n, primes, seed, xof,
+                                  row0=j * len(primes))
+                     for j in range(shards)])
 
 
 def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
@@ -302,9 +372,10 @@ def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
     pt = encode(ctx, values, scale, level)
     rng = _rng()
     seed = secrets.token_bytes(32)
+    xof = default_xof()
     primes = ctx.primes_at_level(level)
     shards = pt.poly.shape[0] if pt.poly.ndim == 3 else 1
-    c1 = expand_seeded_c1(ctx, seed, level, shards)
+    c1 = expand_seeded_c1(ctx, seed, level, shards, xof)
     err = [_sample_error(ctx, rng) for _ in range(shards)]
     if pt.poly.ndim == 3:
         e = np.stack([_small_poly_residues(ctx, ei, primes) for ei in err])
@@ -314,7 +385,7 @@ def encrypt_symmetric(ctx: CKKSContext, keys: KeySet, values, scale: float,
     # c0 = -c1*s + e + m  so that c0 + c1*s = m + e.
     c0 = ctx.add(ctx.sub(e, ctx.mul(c1, s_rows, primes), primes),
                  pt.poly, primes)
-    return Ciphertext([c0, c1], level, pt.scale, seed=seed)
+    return Ciphertext([c0, c1], level, pt.scale, seed=seed, seed_xof=xof)
 
 
 def decrypt(ctx: CKKSContext, keys: KeySet, ct: Ciphertext) -> np.ndarray:

@@ -185,7 +185,10 @@ def serialize_valuation(val):
             c.level = v.level
             c.scale = v.scale
             if v.seed is not None and v.size == 2:
+                from ..crypto.keys import default_xof
                 c.seed = v.seed
+                c.xof = (v.seed_xof if v.seed_xof is not None
+                         else default_xof())
                 _poly_to_msg(v.polys[0], c.polys.add())  # c0 only
             else:
                 for p in v.polys:
@@ -218,8 +221,10 @@ def deserialize_valuation(msg):
                               tuple(params.rotations),
                               params.poly_modulus_degree)
             shards = polys[0].shape[0] if polys[0].ndim == 3 else 1
-            polys.append(expand_seeded_c1(ctx, seed, c.level, shards))
-        val[name] = Ciphertext(polys, c.level, c.scale, seed=seed)
+            polys.append(expand_seeded_c1(ctx, seed, c.level, shards,
+                                          xof=c.xof))
+        val[name] = Ciphertext(polys, c.level, c.scale, seed=seed,
+                               seed_xof=c.xof if seed is not None else None)
     for name, p in msg.plains.items():
         val[name] = Plaintext(_poly_from_msg(p.poly), p.level, p.scale)
     for name, r in msg.raws.items():
@@ -232,6 +237,7 @@ def _ksk_to_msg(ksk, msg) -> None:
         _poly_to_msg(d, msg.k0.add())
     if ksk.k1_seeds:
         msg.k1_seeds.extend(ksk.k1_seeds)
+        msg.xof = ksk.xof
     else:
         for d in ksk.k1:
             _poly_to_msg(d, msg.k1.add())
@@ -244,8 +250,9 @@ def _ksk_from_msg(msg, ctx):
     k0 = [_poly_from_msg(p) for p in msg.k0]
     if msg.k1_seeds:
         seeds = [bytes(sd) for sd in msg.k1_seeds]
-        k1 = [expand_uniform(ctx, ctx.all_primes, sd) for sd in seeds]
-        return KSwitchKey(k0, k1, seeds, alpha=alpha)
+        k1 = [expand_uniform(ctx, ctx.all_primes, sd, msg.xof)
+              for sd in seeds]
+        return KSwitchKey(k0, k1, seeds, alpha=alpha, xof=msg.xof)
     return KSwitchKey(k0, [_poly_from_msg(p) for p in msg.k1], alpha=alpha)
 
 
@@ -255,6 +262,7 @@ def serialize_public(pub):
     _poly_to_msg(pub._keys.public.b, msg.pk_b)
     if pub._keys.public.a_seed:
         msg.pk_a_seed = pub._keys.public.a_seed
+        msg.pk_xof = pub._keys.public.xof
     else:
         _poly_to_msg(pub._keys.public.a, msg.pk_a)
     _ksk_to_msg(pub._keys.relin, msg.relin)
@@ -272,8 +280,9 @@ def deserialize_public(msg):
                       params.poly_modulus_degree)
     if msg.pk_a_seed:
         seed = bytes(msg.pk_a_seed)
-        pk_a = K.expand_uniform(ctx, ctx.data_primes, seed)
-        public = K.PublicKey(_poly_from_msg(msg.pk_b), pk_a, seed)
+        pk_a = K.expand_uniform(ctx, ctx.data_primes, seed, msg.pk_xof)
+        public = K.PublicKey(_poly_from_msg(msg.pk_b), pk_a, seed,
+                             xof=msg.pk_xof)
     else:
         public = K.PublicKey(_poly_from_msg(msg.pk_b), _poly_from_msg(msg.pk_a))
     relin = _ksk_from_msg(msg.relin, ctx)

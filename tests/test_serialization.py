@@ -115,6 +115,75 @@ class TestFourRoleProtocol:
             assert sig2.inputs["x"].level == signature.inputs["x"].level
 
 
+class TestSeedXOF:
+    """The wire-format XOF id travels with every serialized seed
+    (docs/WIRE_FORMAT.md): SHAKE-128 by default, PCG64 as the legacy
+    mode for pre-round-4 files."""
+
+    def test_shake_expansion_deterministic_and_uniform(self):
+        from eva_tpu.crypto import keys as K
+        from eva_tpu.crypto.context import get_context
+        ctx = get_context((30, 30, 30), (), 2048)
+        seed = bytes(range(32))
+        a = K.expand_uniform(ctx, ctx.data_primes, seed, K.XOF_SHAKE128)
+        b = K.expand_uniform(ctx, ctx.data_primes, seed, K.XOF_SHAKE128)
+        assert np.array_equal(a, b)
+        for i, q in enumerate(ctx.data_primes):
+            assert a[i].max() < q
+            # crude uniformity: mean within 2% of q/2 over 2048 draws
+            assert abs(a[i].mean() / (q / 2) - 1.0) < 0.06
+        # differs from the legacy stream and across seeds/rows
+        c = K.expand_uniform(ctx, ctx.data_primes, seed, K.XOF_PCG64)
+        assert not np.array_equal(a, c)
+        d = K.expand_uniform(ctx, ctx.data_primes, b"\x01" * 32,
+                             K.XOF_SHAKE128)
+        assert not np.array_equal(a, d)
+
+    def test_shake_known_answer(self):
+        """Golden values pin the SHAKE row construction itself: a format
+        change (domain string, word order, rejection rule) breaks this."""
+        from eva_tpu.crypto.keys import _shake_row
+        row = _shake_row(b"\x00" * 32, 0, (1 << 31) - 2**24 + 1, 8)
+        assert row.tolist() == [1772328851, 1802198551, 147367195,
+                                965509098, 1469331277, 2101111915,
+                                1800294704, 1255036654]
+
+    def test_legacy_pcg64_files_still_load(self, monkeypatch):
+        """Keys generated and serialized under the legacy XOF load and
+        decrypt correctly in a default (SHAKE) process — the per-object
+        tag, not the process environment, selects the expansion."""
+        poly = _poly_program()
+        inputs = {"x": [i * 0.01 for i in range(poly.vec_size)]}
+        reference = evaluate(poly, inputs)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        monkeypatch.setenv("EVA_TPU_XOF", "pcg64")
+        pub, sec = generate_keys(params)
+        legacy_pub = save_to_string(pub)
+        legacy_in = save_to_string(sec.encrypt(inputs, sig))
+        monkeypatch.delenv("EVA_TPU_XOF")
+        pub2 = load_from_string(legacy_pub)
+        enc2 = load_from_string(legacy_in)
+        out = sec.decrypt(pub2.execute(compiled, enc2), sig)
+        assert valuation_mse(out, reference) < 0.01
+
+    def test_default_seeds_tagged_shake(self):
+        from eva_tpu.crypto import keys as K
+        from eva_tpu.serialization import serialize_public, \
+            serialize_valuation
+        poly = _poly_program()
+        inputs = {"x": [i * 0.01 for i in range(poly.vec_size)]}
+        _, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        pub, sec = generate_keys(params)
+        msg = serialize_public(pub)
+        assert msg.pk_xof == K.XOF_SHAKE128
+        assert msg.relin.xof == K.XOF_SHAKE128
+        vmsg = serialize_valuation(sec.encrypt(inputs, sig))
+        assert all(c.xof == K.XOF_SHAKE128
+                   for c in vmsg.ciphers.values())
+
+
 class TestSeededEncryption:
     def test_seeded_ciphertexts_halve_upload_and_roundtrip(self):
         """EVASecret.encrypt produces seeded (c0, seed) ciphertexts that
