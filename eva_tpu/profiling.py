@@ -68,14 +68,10 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
     def _rescale_last(dev, v, primes):
         # One divide-and-round step (the rescale/key-switch epilogue),
         # padded back to the input shape so executions can chain.
+        # _divide_last only reads ctx.n, so a minimal shim suffices.
         from .backend.executor_jax import JaxProgram
         shim = JaxProgram.__new__(JaxProgram)
-        from .crypto.context import get_context
-        shim.ctx = get_context(tuple(primes) + (primes[-1],), (), n) if False else None
-        # direct call: _divide_last only needs ctx.n
-        class _C:  # minimal ctx shim
-            pass
-        shim.ctx = _C(); shim.ctx.n = n
+        shim.ctx = type("Ctx", (), {"n": n})()
         return JaxProgram._divide_last(shim, v, list(primes))
 
     results = []
@@ -150,11 +146,9 @@ def estimate_program(compiled, params, *, ntt_row_us: float = 2.2,
 
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
                       params.poly_modulus_degree)
-    ex = Executor.__new__(Executor)
-    Executor.__init__.__wrapped__(ex) if False else None
-    ex_inited = Executor(compiled, ctx, None)
-    plan, types, order = ex_inited.plan, ex_inited.types, ex_inited.order
-    hoisted = ex_inited._hoisted_sources
+    ex = Executor(compiled, ctx, None)
+    plan, types, order = ex.plan, ex.types, ex.order
+    hoisted = ex._hoisted_sources
 
     n = ctx.n
     n_key = len(ctx.key_primes)

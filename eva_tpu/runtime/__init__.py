@@ -34,6 +34,27 @@ class EVAValuation(dict):
         self.params = params
 
 
+def _check_params(mine: CKKSParameters, val, where: str) -> None:
+    """Reject a valuation produced under different encryption parameters
+    before it reaches the executor/decryptor — the analog of the
+    reference's context-checked loads
+    (eva/serialization/seal_serialization.cpp:86-103), surfaced at use
+    time since our load() has no ambient context to check against."""
+    theirs = getattr(val, "params", None)
+    if theirs is None or theirs == mine:
+        return
+    diffs = []
+    for field in ("poly_modulus_degree", "prime_bits", "rotations"):
+        a, b = getattr(mine, field), getattr(theirs, field)
+        if list(np.atleast_1d(a)) != list(np.atleast_1d(b)):
+            diffs.append(f"{field} {list(np.atleast_1d(b))} != "
+                         f"{list(np.atleast_1d(a))}")
+    raise RuntimeError(
+        f"Parameter mismatch in {where}: the valuation was produced under "
+        f"different encryption parameters ({'; '.join(diffs)}). Re-encrypt "
+        f"under this context's parameters, or load the matching key set.")
+
+
 class EVAPublic:
     """Public context: encrypt + execute. Holds no secret material."""
 
@@ -101,6 +122,7 @@ class EVAPublic:
         return executor
 
     def execute(self, program, inputs: EVAValuation) -> EVAValuation:
+        _check_params(self.params, inputs, "EVAPublic.execute")
         outputs = self._executor_for(program).run(inputs)
         return EVAValuation(self.params, outputs)
 
@@ -108,6 +130,8 @@ class EVAPublic:
         """Execute one compiled program over a batch of valuations in a
         single device invocation, optionally sharding the batch axis over
         a device mesh (jax backend). Returns a list of EVAValuations."""
+        for v in inputs_list:
+            _check_params(self.params, v, "EVAPublic.execute_batch")
         results = self._executor_for(program).run_batch(inputs_list, mesh=mesh)
         return [EVAValuation(self.params, r) for r in results]
 
@@ -118,7 +142,13 @@ class EVAPublic:
         host-side encoding, device compute, and output fetch overlap —
         the serving-loop shape of the 4-role protocol's server role."""
         ex = self._executor_for(program)
-        for out in ex.run_pipelined(inputs_iter, depth=depth):
+
+        def checked(it):
+            for v in it:
+                _check_params(self.params, v, "EVAPublic.execute_pipelined")
+                yield v
+
+        for out in ex.run_pipelined(checked(inputs_iter), depth=depth):
             yield EVAValuation(self.params, out)
 
 
@@ -167,6 +197,7 @@ class EVASecret:
 
     def decrypt(self, enc_outputs: EVAValuation,
                 signature: CKKSSignature) -> Dict[str, list]:
+        _check_params(self.params, enc_outputs, "EVASecret.decrypt")
         outputs = {}
         for name, value in enc_outputs.items():
             if isinstance(value, Ciphertext):

@@ -9,7 +9,7 @@ predicted error is near the application tolerance, raise the scales.
 Model (coefficient-domain standard deviations, sigma = 3.2 ternary-secret
 RLWE):
   fresh encrypt   sigma_f = sigma * sqrt(1 + 4N/3)   (e0 + u*e_pk + s*e1)
-  encode          0.29                               (rounding +-0.5)
+  encode          hypot(0.289, fft_float_term)       (see encode_sigma)
   add/sub         quadrature sum
   ct x ct         |v1|*n2 + |v2|*n1 (+ n1*n2 ignored)
   ct x plain      |p|*n1 + |v1|*rounding
@@ -30,6 +30,29 @@ from ..traversal import ProgramTraversal
 from .executor import Executor
 
 SIGMA = 3.2
+
+# Measured float64-FFT/decode relative-error coefficient: round-trip slot
+# error floors at ~C*sqrt(log2 N) relative to the value magnitude
+# (2.4e-16 at N=2048 .. 3.2e-16 at N=32768, tests/test_crypto.py
+# TestEncoderPrecision). The Garner decode folds the TOP 53 bits of the
+# centered coefficient, so the float path's error stays RELATIVE at any
+# scale — it never blows up, it just stops shrinking with 1/scale.
+EPS_FFT = 8e-17
+
+
+def encode_sigma(n: int, scale: float, value_rms: float = 1.0) -> float:
+    """Per-coefficient encode/decode error std: quantization rounding
+    (+-0.5 -> 0.289) in quadrature with the float64 FFT/Garner term
+    (relative floor ~EPS_FFT*sqrt(log2 N) on slot values, expressed
+    here in coefficient units so slot error = sigma * sqrt(N)/scale).
+
+    Precision envelope (measured): slot error = max(0.29*sqrt(N)/scale,
+    ~3e-16 * |value|). The 0.01 MSE gate is therefore reachable by
+    UNDER-scaling (scale < ~2^15 at N=16384) but never by over-scaling:
+    scales up to 2^90 round-trip at ~3e-16 relative error."""
+    fft = EPS_FFT * math.sqrt(math.log2(n)) * scale * value_rms \
+        / math.sqrt(n)
+    return math.hypot(0.2887, fft)
 
 
 def estimate_noise(compiled: Program, params, signature,
@@ -112,10 +135,16 @@ def estimate_noise(compiled: Program, params, signature,
         op = term.op
         args = term.operands
         if op == Op.Input:
-            noise[term.index] = (sigma_fresh
-                                 if planner.types[term] == Type.Cipher else 0.29)
+            if planner.types[term] == Type.Cipher:
+                noise[term.index] = sigma_fresh
+            else:
+                plan = planner.plan.get(term.index)
+                noise[term.index] = encode_sigma(
+                    n, plan.scale if plan else 1.0, rms(term))
         elif op == Op.Encode:
-            noise[term.index] = 0.29
+            plan = planner.plan.get(term.index)
+            noise[term.index] = encode_sigma(
+                n, plan.scale if plan else 1.0, rms(term))
         elif op in (Op.Add, Op.Sub):
             ns = [noise.get(o.index, 0.0) for o in args]
             noise[term.index] = math.hypot(*ns)

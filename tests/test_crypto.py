@@ -376,3 +376,59 @@ class TestPallasEpilogueInStructuredPath:
                                coeff_out=not out_ntt)
             for a, b in zip(ref, got):
                 np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestEncoderPrecision:
+    """Encoder precision envelope (SURVEY §7 hard part 3; VERDICT r3
+    weak #6): the encode->decode round trip alone must match the
+    two-term model in runtime/noise.encode_sigma — quantization rounding
+    0.289*sqrt(N)/scale plus a RELATIVE float64-FFT/Garner floor of
+    ~EPS_FFT*sqrt(log2 N). In particular high scales (60-90 bits, where
+    f64 mantissa headroom is thin) must degrade gracefully to the
+    relative floor, never catastrophically."""
+
+    def test_roundtrip_matches_model_across_scales(self):
+        from eva_tpu.crypto.encoder import get_encoder
+        from eva_tpu.crypto.primes import build_chain
+        from eva_tpu.runtime.noise import encode_sigma
+        import math
+
+        for n in (2048, 16384):
+            enc = get_encoder(n)
+            chain = build_chain([60] * 4, n)
+            primes = [q for e in chain for q in e.primes]
+            rng = np.random.default_rng(3)
+            v = rng.uniform(-1, 1, n // 2)
+            rms = float(np.sqrt(np.mean(v ** 2)))
+            for sbits in (40, 60, 80):
+                scale = 2.0 ** sbits
+                c = enc.values_to_coeffs(v, scale)
+                r = enc.coeffs_to_residues(c, primes)
+                v2 = enc.coeffs_to_values(
+                    enc.residues_to_coeffs(r, primes), scale)
+                measured = float((v2 - v).std())
+                predicted = (encode_sigma(n, scale, rms)
+                             * math.sqrt(n) / scale)
+                assert predicted / 3 < measured < 3 * predicted, (
+                    f"N={n} scale=2^{sbits}: measured {measured:.3e} vs "
+                    f"model {predicted:.3e}")
+
+    def test_high_scale_error_is_relative_not_catastrophic(self):
+        """At 90-bit scales the absolute slot error must stay at the
+        ~3e-16 relative floor (the Garner decode carries the top 53 bits
+        of the CENTERED coefficient, so there is no cancellation of
+        ~Q-sized floats)."""
+        from eva_tpu.crypto.encoder import get_encoder
+        from eva_tpu.crypto.primes import build_chain
+
+        n = 4096
+        enc = get_encoder(n)
+        chain = build_chain([60] * 4, n)
+        primes = [q for e in chain for q in e.primes]
+        rng = np.random.default_rng(7)
+        v = rng.uniform(-1, 1, n // 2)
+        scale = 2.0 ** 90
+        c = enc.values_to_coeffs(v, scale)
+        r = enc.coeffs_to_residues(c, primes)
+        v2 = enc.coeffs_to_values(enc.residues_to_coeffs(r, primes), scale)
+        assert float((v2 - v).std()) < 1e-14

@@ -115,6 +115,125 @@ class TestFourRoleProtocol:
             assert sig2.inputs["x"].level == signature.inputs["x"].level
 
 
+class TestGoldenFixtures:
+    """Frozen wire-format bytes (tests/fixtures/, regenerated only
+    intentionally via tools/make_golden_fixtures.py). Guards the concrete
+    serializer behaviors the reference's C++ encoder pins — topological
+    term order, op/attribute codes, version gate, envelope packing
+    (eva_serialization.cpp:146-289) — so a silent format drift breaks a
+    test instead of passing against itself."""
+
+    FIXDIR = os.path.join(os.path.dirname(__file__), "fixtures")
+
+    @staticmethod
+    def _generator():
+        import importlib.util
+        path = os.path.join(os.path.dirname(__file__), "..", "tools",
+                            "make_golden_fixtures.py")
+        spec = importlib.util.spec_from_file_location("mkfix", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def _payload(self, blob: bytes):
+        """(type_url, value) of the envelope — creator tag excluded so a
+        version bump alone doesn't trip the byte comparison."""
+        from eva_tpu.serialization import known_type_pb2
+        env = known_type_pb2.KnownType()
+        env.ParseFromString(blob)
+        return env.contents.type_url, env.contents.value
+
+    def test_frozen_bytes_load_and_reproduce_semantics(self):
+        gen = self._generator()
+        for build in (gen.readme_poly, gen.rotating):
+            prog = build()
+            compiled, params, sig = CKKSCompiler(
+                {"warn_vec_size": "false"}).compile(prog)
+            stem = prog.name.lower()
+            loaded_prog = load(os.path.join(self.FIXDIR, f"{stem}.eva"))
+            loaded_params = load(
+                os.path.join(self.FIXDIR, f"{stem}.evaparams"))
+            loaded_sig = load(
+                os.path.join(self.FIXDIR, f"{stem}.evasignature"))
+            inputs = {"x": [i * 0.001 for i in range(prog.vec_size)]}
+            assert valuation_mse(evaluate(loaded_prog, inputs),
+                                 evaluate(compiled, inputs)) < 1e-20
+            assert loaded_params == params
+            assert loaded_sig.vec_size == sig.vec_size
+            for name in sig.inputs:
+                assert loaded_sig.inputs[name].scale == sig.inputs[name].scale
+                assert loaded_sig.inputs[name].level == sig.inputs[name].level
+
+    def test_save_remains_byte_stable(self):
+        gen = self._generator()
+        for build in (gen.readme_poly, gen.rotating):
+            prog = build()
+            compiled, params, sig = CKKSCompiler(
+                {"warn_vec_size": "false"}).compile(prog)
+            stem = prog.name.lower()
+            for obj, ext in ((compiled, "eva"), (params, "evaparams"),
+                             (sig, "evasignature")):
+                with open(os.path.join(self.FIXDIR, f"{stem}.{ext}"),
+                          "rb") as f:
+                    frozen = f.read()
+                assert self._payload(save_to_string(obj)) == \
+                    self._payload(frozen), \
+                    f"{stem}.{ext}: serialized bytes drifted from the " \
+                    f"frozen fixture — if intentional, regenerate via " \
+                    f"tools/make_golden_fixtures.py and document the " \
+                    f"change in docs/WIRE_FORMAT.md"
+
+
+class TestContextChecks:
+    """Valuations produced under different parameters are rejected with a
+    clean error at use time — the analog of the reference's
+    context-checked loads (seal_serialization.cpp:86-103)."""
+
+    def _two_contexts(self):
+        poly = _poly_program()
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        other = EvaProgram("Other", vec_size=64)
+        with other:
+            x = Input("x")
+            Output("y", ((x * x) * x) * x + x)
+        other.set_output_ranges(24)
+        other.set_input_scales(54)
+        compiled2, params2, sig2 = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(other)
+        assert params != params2  # different levels/primes
+        return compiled, params, sig, params2, sig2
+
+    def test_execute_rejects_foreign_valuation(self):
+        compiled, params, sig, params2, sig2 = self._two_contexts()
+        pub, sec = generate_keys(params)
+        pub2, _ = generate_keys(params2)
+        inputs = {"x": [0.1] * 64}
+        enc = pub2.encrypt(inputs, sig2)
+        with pytest.raises(RuntimeError, match="Parameter mismatch"):
+            pub.execute(compiled, enc)
+        with pytest.raises(RuntimeError, match="Parameter mismatch"):
+            pub.execute_batch(compiled, [enc])
+
+    def test_decrypt_rejects_foreign_valuation(self):
+        compiled, params, sig, params2, sig2 = self._two_contexts()
+        pub, sec = generate_keys(params)
+        pub2, _ = generate_keys(params2)
+        enc = pub2.encrypt({"x": [0.1] * 64}, sig2)
+        with pytest.raises(RuntimeError, match="Parameter mismatch"):
+            sec.decrypt(enc, sig)
+
+    def test_matching_params_pass_after_reload(self):
+        poly = _poly_program()
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(poly)
+        pub, sec = generate_keys(params)
+        inputs = {"x": [0.1] * 64}
+        enc = load_from_string(save_to_string(pub.encrypt(inputs, sig)))
+        out = sec.decrypt(pub.execute(compiled, enc), sig)
+        assert valuation_mse(out, evaluate(poly, inputs)) < 0.01
+
+
 class TestSeedXOF:
     """The wire-format XOF id travels with every serialized seed
     (docs/WIRE_FORMAT.md): SHAKE-128 by default, PCG64 as the legacy
