@@ -52,7 +52,7 @@ PASSES = 3  # interleaved measurement rounds per device metric
 # the probe dies; (b) a watchdog thread hard-exits with a JSON line
 # built from partial results if any later device call hangs.
 PROBE_TIMEOUT_S = 120
-WATCHDOG_S = 3000
+WATCHDOG_S = 3300
 _RESULTS: dict = {}
 
 
@@ -462,21 +462,12 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
         d0, d1 = shim._ks_apply(d, level, layout)
         return dev.add(d0, d1)
 
-    @jax.jit
-    def rot_step(p):
-        out = shim._rotate([p, p], 1, level, dev, None, None)
-        return dev.add(out[0], out[1])
-
     steps["ks_digits(intt+fbe+ntt)"] = (digits_step, digit_bytes)
     steps["ks_full(digits+mac+pdiv)"] = (apply_step, digit_bytes + mac_bytes)
-    steps["rotation"] = (rot_step, rot_bytes)
-
-    red = jax.jit(lambda v: jnp.sum(v >> 31))
-    for name, (fn, _) in steps.items():  # compile everything up front
-        _ = float(red(fn(poly)))
-        print(f"bench: kernel {name} compiled", file=sys.stderr)
 
     from eva_tpu.profiling import measure_hbm_roofline
+
+    red = jax.jit(lambda v: jnp.sum(v >> 31))
 
     def slope(fn) -> float:
         def chain_time(reps):
@@ -492,18 +483,31 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
         r1, r2 = (4, 24) if on_tpu else (1, 3)
         return max((chain_time(r2) - chain_time(r1)) / (r2 - r1), 1e-9)
 
-    def measure() -> dict:
+    def measure(out: dict) -> dict:
+        """Fills `out` INCREMENTALLY (one compile per kernel), so a
+        watchdog still captures whatever kernels landed."""
         hbm = measure_hbm_roofline(jax, jnp)
-        out = {"hbm_gbs": round(hbm / 1e9, 1)}
+        out["hbm_gbs"] = round(hbm / 1e9, 1)
         for name, (fn, nbytes) in steps.items():
+            _ = float(red(fn(poly)))  # compile
             per = slope(fn)
             out[name] = {"us": round(per / batch * 1e6, 1),
                          "gbs": round(nbytes / per / 1e9, 1),
                          "sol_pct": round(100 * nbytes / per / hbm, 1)}
+            print(f"bench: kernel {name}: {out[name]}", file=sys.stderr)
         # stage split by subtraction: MAC+epilogue = full KS - digits
         dig = out["ks_digits(intt+fbe+ntt)"]["us"]
         full = out["ks_full(digits+mac+pdiv)"]["us"]
         out["ks_mac_epilogue_us"] = round(max(full - dig, 0.0), 1)
+        # rotation SoL from the already-measured rotation median (same
+        # jitted fn the rotation metric timed; no extra compile).
+        rot_s = _med(_RESULTS.get("rotation_samples", []))
+        if rot_s:
+            per_op_bytes = rot_bytes / batch
+            out["rotation"] = {
+                "us": round(rot_s * 1e6, 1),
+                "gbs": round(per_op_bytes / rot_s / 1e9, 1),
+                "sol_pct": round(100 * per_op_bytes / rot_s / hbm, 1)}
         return out
 
     return measure
@@ -563,13 +567,10 @@ def main() -> None:
           f"{sobel_once['sobel90_host_ms']} ms, "
           f"mse {sobel_once['sobel90_mse']:.2e})", file=sys.stderr)
 
-    kernel_measure = setup_kernel_sol(ctx, keys, on_tpu)
-    sol = kernel_measure()
-    extras["kernel_sol"] = sol
-    print(f"bench: kernel SoL {json.dumps(sol)}", file=sys.stderr)
-
     # Passes 2..PASSES: interleave the device metrics so tunnel drift
-    # lands on all of them equally; medians emitted at the end.
+    # lands on all of them equally; medians emitted at the end. This runs
+    # BEFORE the per-kernel section so the headline medians land even if
+    # the watchdog cuts the kernel compiles short.
     for p in range(2, PASSES + 1):
         for name, fn in measures.items():
             val = fn()
@@ -581,6 +582,11 @@ def main() -> None:
     extras["sobel90_vs_host"] = round(
         sobel_once["sobel90_host_ms"] / 1e3
         / _med(_RESULTS["sobel90_samples"]), 2)
+
+    # Per-kernel speed-of-light section, incremental (watchdog-safe).
+    sol = extras.setdefault("kernel_sol", {})
+    setup_kernel_sol(ctx, keys, on_tpu)(sol)
+    print(f"bench: kernel SoL {json.dumps(sol)}", file=sys.stderr)
 
     _emit()
 

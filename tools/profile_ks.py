@@ -91,8 +91,14 @@ def main():
         return jnp.take(p, perm, axis=-1)
 
     def digits_step(p):
+        # Fold a lane-0 scalar from every digit component into the
+        # chained output: lane 0 of an NTT output depends on all inputs,
+        # so none of the digit NTTs can be dead-code-eliminated.
         d = shim._ks_digits(p, level)
-        return d.own
+        extra = jnp.sum(d.b[..., 0].astype(jnp.uint32))
+        if d.a is not None:
+            extra = extra + jnp.sum(d.a[..., 0].astype(jnp.uint32))
+        return d.own + extra
 
     def apply_step(p):
         d = shim._ks_digits(p, level)
