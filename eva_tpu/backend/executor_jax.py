@@ -108,7 +108,8 @@ def _hoist_consts_jit(fn, example_args, const_sharding=None):
 
     consts = [bufs.setdefault(id(c), put(c)) for c in closed.consts]
     jaxpr, out_tree = closed.jaxpr, out_tree_box[0]
-    jitted = jax.jit(lambda cs, flat: jax.core.eval_jaxpr(jaxpr, cs, *flat))
+    from ..parallel.sharding import eval_jaxpr_compat
+    jitted = jax.jit(lambda cs, flat: eval_jaxpr_compat(jaxpr, cs, *flat))
 
     def call(*args):
         flat, _ = tree_util.tree_flatten(args)
@@ -605,12 +606,13 @@ class JaxProgram:
         n_ext = len(ctx.primes_at_level(level)) + len(ctx.key_primes)
         member, conv = self._dp["tables"][(level, alpha)]
         _, inv_mont, _ = _ks_dev_tables(ctx, level, alpha)
-        y = dev.mul_mont(coeffs, inv_mont)          # [..., n_cur, N]
+        y = dev.mul_mont(coeffs, inv_mont)          # [..., n_cur, nloc]
         loc = member.shape[0]
+        nloc = y.shape[-1]  # = ctx.n, or the local shard on a seq mesh
         ym = jnp.take(y, member.reshape(-1), axis=-2)
-        ym = ym.reshape(y.shape[:-2] + (loc, alpha, 1, ctx.n))
+        ym = ym.reshape(y.shape[:-2] + (loc, alpha, 1, nloc))
         prod = ext.mul_mont(jnp.broadcast_to(
-            ym, y.shape[:-2] + (loc, alpha, n_ext, ctx.n)), conv)
+            ym, y.shape[:-2] + (loc, alpha, n_ext, nloc)), conv)
         acc = prod[..., 0, :, :]
         for k in range(1, alpha):
             acc = ext.add(acc, prod[..., k, :, :])
@@ -657,22 +659,31 @@ class JaxProgram:
             for _ in ctx.key_primes:
                 x = self._divide_last(x, prim)
                 prim = prim[:-1]
-            return level_ops(prim, ctx.n).ntt(x) if out_ntt else x
+            # _lops, not level_ops: on a limb x seq mesh the output NTT
+            # must route through the seq-sharded transform.
+            return self._lops(prim).ntt(x) if out_ntt else x
 
         return tail(acc0), tail(acc1)
 
     def _body_dp(self, cipher_in, plain_in, dp_tabs, dp_keys,
-                 axis, n_dev: int):
+                 axis, n_dev: int, seq=None):
         """Trace the program with the digit-parallel key-switch context
         installed; dp_tabs/dp_keys are the (possibly shard-local) tables
         and key planes. axis=None traces the layout without collectives
-        (used for shape evaluation only)."""
+        (used for shape evaluation only). `seq=(axis, n_dev)` installs
+        the sequence-parallel context as well — the two compose because
+        their collectives ride orthogonal mesh axes: the digit partial
+        sums all-reduce over "limb" while each digit's NTTs all-to-all
+        over "seq"."""
         self._dp = {"axis": axis, "n_dev": n_dev,
                     "tables": dp_tabs, "keys": dp_keys}
+        if seq is not None:
+            self._seq = {"axis": seq[0], "n_dev": seq[1]}
         try:
             return self._traced(cipher_in, plain_in)
         finally:
             self._dp = None
+            self._seq = None
 
     def _body_seq(self, cipher_in, plain_in, axis, n_dev: int):
         """Trace the program with the sequence-parallel (sharded ring
@@ -718,43 +729,8 @@ class JaxProgram:
                       and self._ks_sites())
             from jax.sharding import NamedSharding
             repl = NamedSharding(mesh, P())
-            if n_seq > 1:
-                from ..parallel.seq_exec import seq_compatible
-                if self.k != 1:
-                    raise ValueError(
-                        "seq mesh axis: sharded big-vector programs "
-                        "(vec_size > N/2) are not supported")
-                if n_dp > 1:
-                    raise ValueError(
-                        "mesh cannot have both limb > 1 and seq > 1")
-                if not seq_compatible(self.ctx.n, n_seq):
-                    raise ValueError(
-                        f"ring size {self.ctx.n} cannot shard over "
-                        f"{n_seq} devices (needs 128 | N/128 % seq == 0)")
-                seq_specs = (
-                    jax.tree.map(lambda _: P(bax, None, "seq"), cipher_in),
-                    {k: (P(None, "seq") if k in plain_unbatched
-                         else P(bax, None, "seq"))
-                     for k in plain_in})
-                out_specs = jax.tree.map(
-                    lambda _: P(bax, None, "seq"),
-                    jax.eval_shape(self._traced, cipher_in, plain_in))
-                self._sharded_cache[key] = _hoist_consts_jit(
-                    shard_map(lambda c, p: self._body_seq(c, p, "seq",
-                                                          n_seq),
-                              mesh=mesh, in_specs=seq_specs,
-                              out_specs=out_specs),
-                    (cipher_in, plain_in), const_sharding=repl)
-            elif not use_dp:
-                out_specs = jax.tree.map(
-                    lambda _: P(bax),
-                    jax.eval_shape(self._traced, cipher_in, plain_in))
-                self._sharded_cache[key] = _hoist_consts_jit(
-                    shard_map(lambda c, p: self._traced(c, p),
-                              mesh=mesh, in_specs=specs,
-                              out_specs=out_specs),
-                    (cipher_in, plain_in), const_sharding=repl)
-            else:
+
+            def dp_materialize():
                 dp_tabs = {}
                 dp_keys = {}
                 for name, level, alpha in self._ks_sites():
@@ -768,6 +744,73 @@ class JaxProgram:
                            else self.keys.galois[int(name.split("_")[1])])
                     dp_keys[f"{name}@L{level}"] = self.dkeys.dp_layout(
                         ksk, level, n_dp)
+                return dp_tabs, dp_keys
+
+            if n_seq > 1:
+                from ..parallel.seq_exec import seq_compatible
+                if self.k != 1:
+                    raise ValueError(
+                        "seq mesh axis: sharded big-vector programs "
+                        "(vec_size > N/2) are not supported")
+                if n_dp > 1 and not use_dp:
+                    raise ValueError(
+                        "limb mesh axis > 1 needs a power-of-two size "
+                        "and a program with key switches")
+                if not seq_compatible(self.ctx.n, n_seq):
+                    raise ValueError(
+                        f"ring size {self.ctx.n} cannot shard over "
+                        f"{n_seq} devices (seq must divide both 128 and "
+                        f"N/128 = {self.ctx.n // 128})")
+                seq_specs = (
+                    jax.tree.map(lambda _: P(bax, None, "seq"), cipher_in),
+                    {k: (P(None, "seq") if k in plain_unbatched
+                         else P(bax, None, "seq"))
+                     for k in plain_in})
+                out_specs = jax.tree.map(
+                    lambda _: P(bax, None, "seq"),
+                    jax.eval_shape(self._traced, cipher_in, plain_in))
+                if use_dp:
+                    # limb x seq composition: digit partial sums
+                    # all-reduce over "limb" while every NTT's stage
+                    # exchange rides "seq" — orthogonal axes, so the
+                    # collectives compose without interference. Key
+                    # planes shard digit axis over limb AND ring axis
+                    # over seq (evaluation-domain planes are contiguous
+                    # flat slices, see seq_exec layout contract).
+                    dp_tabs, dp_keys = dp_materialize()
+                    tab_specs = jax.tree.map(lambda _: P("limb"), dp_tabs)
+                    key_specs = jax.tree.map(
+                        lambda _: P("limb", None, "seq"), dp_keys)
+                    body = shard_map(
+                        lambda c, p, t, k: self._body_dp(
+                            c, p, t, k, "limb", n_dp,
+                            seq=("seq", n_seq)),
+                        mesh=mesh,
+                        in_specs=seq_specs + (tab_specs, key_specs),
+                        out_specs=out_specs)
+                    jitted = _hoist_consts_jit(
+                        body, (cipher_in, plain_in, dp_tabs, dp_keys),
+                        const_sharding=repl)
+                    self._sharded_cache[key] = (
+                        lambda c, p: jitted(c, p, dp_tabs, dp_keys))
+                else:
+                    self._sharded_cache[key] = _hoist_consts_jit(
+                        shard_map(lambda c, p: self._body_seq(c, p, "seq",
+                                                              n_seq),
+                                  mesh=mesh, in_specs=seq_specs,
+                                  out_specs=out_specs),
+                        (cipher_in, plain_in), const_sharding=repl)
+            elif not use_dp:
+                out_specs = jax.tree.map(
+                    lambda _: P(bax),
+                    jax.eval_shape(self._traced, cipher_in, plain_in))
+                self._sharded_cache[key] = _hoist_consts_jit(
+                    shard_map(lambda c, p: self._traced(c, p),
+                              mesh=mesh, in_specs=specs,
+                              out_specs=out_specs),
+                    (cipher_in, plain_in), const_sharding=repl)
+            else:
+                dp_tabs, dp_keys = dp_materialize()
                 out_specs = jax.tree.map(
                     lambda _: P(bax),
                     jax.eval_shape(
@@ -805,12 +848,14 @@ class JaxProgram:
 
     def _aperm(self, g: int):
         """Galois automorphism applicator; in seq mode the N-permutation
-        is lifted over the sharded ring axis (gather + perm + slice)."""
+        is lifted over the sharded ring axis as one shard ppermute plus
+        a local lane gather (seq_perm_galois; generic gather fallback)."""
         base = dev_perm(self.ctx, g)
         if self._seq is None:
             return base
-        from ..parallel.seq_exec import seq_perm
-        return seq_perm(base, self._seq["axis"], self._seq["n_dev"])
+        from ..parallel.seq_exec import seq_perm_galois
+        return seq_perm_galois(self.ctx, g, self._seq["axis"],
+                               self._seq["n_dev"], base)
 
     def _ops_at(self, level: int) -> DeviceLevelOps:
         return self._lops(self.ctx.primes_at_level(level))
@@ -1482,8 +1527,16 @@ class JaxProgram:
                     dev_arr = self._upload(
                         v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
                     if mesh is not None:
+                        # Match the shard_map in_spec for unbatched
+                        # plains: P(None, "seq") on a seq mesh (avoids a
+                        # reshard transfer every execute_batch call),
+                        # replicated otherwise.
+                        if mesh.shape.get("seq", 1) > 1:
+                            uspec = P(None, "seq")
+                        else:
+                            uspec = P()
                         dev_arr = _jax.device_put(
-                            dev_arr, NamedSharding(mesh, P()))
+                            dev_arr, NamedSharding(mesh, uspec))
                     plain_in[key] = dev_arr
                 else:
                     plain_in[key] = place(jnp.asarray(np.stack(

@@ -33,7 +33,10 @@ from __future__ import annotations
 from functools import lru_cache
 from typing import Tuple
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 
 from ..backend.tables import DeviceLevelOps
 from .ntt_shard import ShardedNTT, get_sharded_ntt
@@ -48,12 +51,10 @@ def seq_slice(arr, axis: str, n_dev: int):
 
 
 def seq_perm(perm_fn, axis: str, n_dev: int):
-    """Lift a full-plane N-permutation (DevPerm / jnp.take automorphism)
-    to seq-sharded evaluation planes: all_gather the N axis, permute on
-    the full plane, keep the own slice. One poly is small relative to
-    the digit stacks the key switch moves, so the gather rides ICI
-    cheaply; a future refinement can exploit the automorphism's affine
-    row structure to replace the gather with a ppermute."""
+    """Lift a full-plane N-permutation to seq-sharded evaluation planes
+    the GENERIC way: all_gather the N axis, permute on the full plane,
+    keep the own slice. Fallback for permutations without the
+    affine-automorphism shard structure (see seq_perm_galois)."""
 
     def f(x):
         full = jax.lax.all_gather(x, axis, axis=x.ndim - 1, tiled=True)
@@ -61,6 +62,64 @@ def seq_perm(perm_fn, axis: str, n_dev: int):
         nloc = x.shape[-1]
         i = jax.lax.axis_index(axis)
         return jax.lax.dynamic_slice_in_dim(y, i * nloc, nloc, axis=-1)
+
+    return f
+
+
+@lru_cache(maxsize=None)
+def _seq_perm_tables(ctx, g: int, n_dev: int):
+    """(src, local) shard-exchange tables for the Galois automorphism g
+    on a D-way seq sharding, or None if the structure doesn't hold.
+
+    Why one source shard per destination shard: the automorphism is
+    affine in natural index order, t' = g*t + (g-1)/2 mod N, and storage
+    is bit-reversed, so a flat position's shard (top log2 D bits of the
+    bit-reversed index) is determined by the natural index mod D. With
+    D | 128 | N and g odd, t' mod D is constant across one destination
+    shard and t = g^-1 (t' - c) mod D is then a single value — every
+    output position of shard d reads from the SAME source shard
+    src[d] = rev_D(g^-1 (t'_d - c) mod D), and d -> src[d] is an affine
+    bijection of shards. Verified empirically from the permutation
+    table rather than trusted.
+
+    src[d]      source shard whose slice destination shard d needs
+    local[d,:]  source-local flat indices within that received slice
+
+    Tables are numpy (cache-safety: never capture tracers; see
+    ARCHITECTURE.md orderings/caching notes)."""
+    perm = np.asarray(ctx.perm_for_elt(g))
+    n = perm.shape[0]
+    if n % n_dev:
+        return None
+    nloc = n // n_dev
+    src_flat = perm.reshape(n_dev, nloc)
+    src_dev = src_flat // nloc
+    if not (src_dev == src_dev[:, :1]).all():
+        return None
+    src = src_dev[:, 0].astype(np.int32)
+    local = (src_flat - src[:, None] * nloc).astype(np.int32)
+    return src, local
+
+
+def seq_perm_galois(ctx, g: int, axis: str, n_dev: int, fallback_fn):
+    """Galois automorphism on seq-sharded evaluation planes WITHOUT the
+    all_gather: one ppermute of whole row-block shards (collective bytes
+    1/D of the gather) followed by a device-local lane gather. Falls
+    back to the generic gather lift if the shard-exchange structure
+    doesn't factor (it always does for Galois elements under the
+    seq_compatible conditions). Bit-identical either way."""
+    tabs = _seq_perm_tables(ctx, g, n_dev)
+    if tabs is None:  # pragma: no cover - defensive
+        return seq_perm(fallback_fn, axis, n_dev)
+    src, local = tabs
+    # ppermute pairs are (source, destination); d receives src[d]'s slice.
+    pairs = [(int(src[d]), d) for d in range(n_dev)]
+
+    def f(x):
+        recv = jax.lax.ppermute(x, axis, pairs)
+        i = jax.lax.axis_index(axis)
+        idx = jnp.take(jnp.asarray(local), i, axis=0)
+        return jnp.take(recv, idx, axis=-1)
 
     return f
 

@@ -42,6 +42,50 @@ def shard_map_compat(f, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_rep=False)
 
 
+def eval_jaxpr_compat(jaxpr, consts, *args):
+    """jax.core.eval_jaxpr across JAX versions: the jax.core re-export
+    is deprecation-prone (same churn class as shard_map above); the
+    fallback goes through the public jax.extend.core surface. `consts`
+    may be tracers (the caller passes hoisted constants as jit
+    arguments), which both paths accept."""
+    try:
+        return jax.core.eval_jaxpr(jaxpr, consts, *args)
+    except AttributeError:
+        from jax.extend.core import ClosedJaxpr, jaxpr_as_fun
+        return jaxpr_as_fun(ClosedJaxpr(jaxpr, consts))(*args)
+
+
+def check_ici_axes(dev_array: np.ndarray, names) -> None:
+    """Refuse collective-bearing mesh axes ("limb", "seq") that span
+    host (process) boundaries. Their collectives are per-key-switch /
+    per-NTT and DCN latency-bound: the 2-host rehearsal measured 0.34
+    scaling efficiency with a per-execution cross-host all-reduce
+    (tools/bench_scaling.py, SCALING.json) vs ~1.0 for batch-parallel —
+    far below the >=0.8 target, so the mesh constructor fences it. Only
+    the zero-communication batch axis (and the explicit "host" axis)
+    may cross DCN. EVA_TPU_ALLOW_DCN_LIMB=1 overrides for
+    experimentation."""
+    import os
+    if os.environ.get("EVA_TPU_ALLOW_DCN_LIMB"):
+        return
+    proc = np.vectorize(lambda d: getattr(d, "process_index", 0))(dev_array)
+    for ax_name in ("limb", "seq"):
+        if ax_name not in names:
+            continue
+        ax = names.index(ax_name)
+        if dev_array.shape[ax] == 1:
+            continue
+        first = np.take(proc, [0], axis=ax)
+        if not (proc == first).all():
+            raise ValueError(
+                f'mesh axis "{ax_name}" spans multiple hosts (processes '
+                f"{sorted(set(proc.ravel().tolist()))}): its per-op "
+                f"collectives would ride DCN at ~0.34 scaling efficiency "
+                f"(SCALING.json; target >=0.8). Keep limb/seq within one "
+                f'host and scale across hosts with the "host" (batch) '
+                f"axis, or set EVA_TPU_ALLOW_DCN_LIMB=1 to override.")
+
+
 def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
                      devices=None, hosts: int = 1,
                      seq_axis: int = 1) -> Mesh:
@@ -71,7 +115,9 @@ def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
     if hosts > 1:
         shape.insert(0, hosts)
         names.insert(0, "host")
-    return Mesh(devices.reshape(shape), tuple(names))
+    arr = devices.reshape(shape)
+    check_ici_axes(arr, names)
+    return Mesh(arr, tuple(names))
 
 
 def batch_axes(mesh: Mesh):

@@ -404,3 +404,37 @@ def test_program_cost_estimate_smoke():
     assert total > 0
     assert "rotate" in totals and "relinearize" in totals
     assert sum(s for _, s in totals.values()) == total
+
+
+def test_recommend_mesh():
+    """recommend_mesh picks valid shapes: all-batch for throughput
+    (collectives only subtract), collective axes (limb/seq) for
+    single-execution latency; every candidate shape fits the device
+    count and seq compatibility."""
+    from eva_tpu import EvaProgram, Input, Output
+    from eva_tpu.ckks import CKKSCompiler
+    from eva_tpu.profiling import recommend_mesh
+    from eva_tpu.parallel.seq_exec import seq_compatible
+
+    prog = EvaProgram("rec", vec_size=1024)
+    with prog:
+        x = Input("x")
+        Output("y", (x << 1) * x + (x << 2) * 0.5 - 1)
+    prog.set_input_scales(30)
+    prog.set_output_ranges(20)
+    compiled, params, _ = CKKSCompiler(
+        {"warn_vec_size": "false"}).compile(prog)
+
+    best_t, table_t = recommend_mesh(compiled, params, 8, throughput=True)
+    assert best_t == {"batch": 8, "limb": 1, "seq": 1}
+
+    best_l, table_l = recommend_mesh(compiled, params, 8)
+    assert best_l["limb"] * best_l["seq"] > 1  # sharding wins latency
+    n = params.poly_modulus_degree
+    for shape, t, thr in table_l:
+        assert shape["batch"] * shape["limb"] * shape["seq"] <= 8
+        assert t > 0 and thr > 0
+        if shape["seq"] > 1:
+            assert seq_compatible(n, shape["seq"])
+    # latency ordering holds for the winner
+    assert table_l[0][1] <= table_l[-1][1]

@@ -297,7 +297,46 @@ class TestSeqShardedProgram:
                             evaluate(prog, batch_inputs[0]))
         assert mse < 0.01
 
-    def test_seq_mesh_rejects_limb_combination(self):
+    def test_compiled_program_limb_x_seq_bit_identical(self):
+        """limb x seq composition: on a {batch, limb, seq} mesh the digit
+        partial sums of every key switch all-reduce over "limb" while
+        each digit's NTTs all-to-all over "seq" — the collectives ride
+        orthogonal axes. Ciphertexts must be BIT-IDENTICAL to
+        single-device execution."""
+        import random
+        random.seed(97)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("dpseq", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + (x << 1) + (x << 3) - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(2)]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+
+        mesh = make_device_mesh(8, limb_axis=2, seq_axis=2)
+        assert dict(mesh.shape) == {"batch": 2, "limb": 2, "seq": 2}
+        combos = pub.execute_batch(compiled, encs, mesh=mesh)
+        for a, b in zip(singles, combos):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        mse = valuation_mse(sec.decrypt(combos[0], sig),
+                            evaluate(prog, batch_inputs[0]))
+        assert mse < 0.01
+
+    def test_seq_compatible_factors(self):
         from eva_tpu.parallel.seq_exec import seq_compatible
         assert seq_compatible(16384, 8)
         assert seq_compatible(4096, 4)
@@ -305,9 +344,11 @@ class TestSeqShardedProgram:
         assert not seq_compatible(16384, 3)    # 128 % 3 != 0
 
     def test_seq_mesh_error_paths(self):
-        """A mesh with both limb>1 and seq>1 is rejected with a clear
-        error (digit-parallel and ring-parallel key switching cannot
-        stack yet), before any tracing starts."""
+        """A limb axis > 1 on a seq mesh needs digit-parallel key
+        switching to attach to: a program with NO key switches is
+        rejected with a clear error before any tracing starts (limb+seq
+        meshes with key switches compose — see
+        test_compiled_program_limb_x_seq_bit_identical)."""
         import random
         random.seed(95)
         from eva_tpu import EvaProgram, Input, Output
@@ -317,7 +358,7 @@ class TestSeqShardedProgram:
         prog = EvaProgram("seqerr", vec_size=8)
         with prog:
             x = Input("x")
-            Output("y", x * x + 1)
+            Output("y", x * 0.5 + 1)  # plain ops only: no key switches
         prog.set_output_ranges(20)
         prog.set_input_scales(30)
         compiled, params, sig = CKKSCompiler(
@@ -325,7 +366,7 @@ class TestSeqShardedProgram:
         pub, _ = generate_keys(params, backend="jax")
         encs = [pub.encrypt({"x": [0.1] * 8}, sig)]
         mesh = make_device_mesh(8, limb_axis=2, seq_axis=2)
-        with pytest.raises(ValueError, match="limb > 1 and seq > 1"):
+        with pytest.raises(ValueError, match="key switches"):
             pub.execute_batch(compiled, encs, mesh=mesh)
 
 
@@ -363,6 +404,32 @@ class TestHostAxisMesh:
             for name in a:
                 for ca, cb in zip(a[name].polys, b[name].polys):
                     assert np.array_equal(np.asarray(ca), np.asarray(cb))
+
+    def test_limb_axis_across_hosts_rejected(self):
+        """Collective-bearing axes (limb/seq) must not span DCN: the
+        2-host rehearsal measured 0.34 scaling efficiency for a
+        per-execution cross-host all-reduce (SCALING.json) vs the >=0.8
+        target, so the mesh constructor fences the layout (VERDICT r3
+        weak #2). The batch/"host" axes carry no per-op collectives and
+        remain free to cross hosts."""
+        import pytest
+        from eva_tpu.parallel.sharding import check_ici_axes
+
+        class Dev:
+            def __init__(self, proc):
+                self.process_index = proc
+
+        # grid[i][j].process_index == i: axis 0 crosses processes,
+        # axis 1 stays inside one process.
+        grid = np.array([[Dev(0), Dev(0)], [Dev(1), Dev(1)]])
+        # limb inside one host (axis 1) is fine...
+        check_ici_axes(grid, ["host", "limb"])
+        check_ici_axes(grid, ["batch", "limb"])
+        # ...but a limb (or seq) axis crossing processes is rejected.
+        with pytest.raises(ValueError, match="spans multiple hosts"):
+            check_ici_axes(grid, ["limb", "batch"])
+        with pytest.raises(ValueError, match="spans multiple hosts"):
+            check_ici_axes(grid, ["seq", "batch"])
 
 
 def test_same_mesh_two_batch_sizes():
