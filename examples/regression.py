@@ -14,7 +14,10 @@ plaintext reference. Backend: numpy by default; set EVA_BACKEND=jax
 """
 
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from eva import EvaProgram, Input, Output, evaluate
 from eva.ckks import CKKSCompiler
