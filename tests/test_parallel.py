@@ -336,6 +336,48 @@ class TestSeqShardedProgram:
                             evaluate(prog, batch_inputs[0]))
         assert mse < 0.01
 
+    @pytest.mark.slow
+    def test_multi_level_key_switches_limb_x_seq(self):
+        """Key switches at MULTIPLE levels on the combined mesh: the
+        digit-parallel tables/keys are per (level, alpha), so a deeper
+        program (relin+rotation after a rescale) exercises shard-local
+        digit stacks of different sizes under the same seq sharding.
+        Bit-identical to single-device. Slow-gated: the two-level
+        combined-mesh body costs tens of minutes of XLA compile on the
+        8-device virtual CPU mesh (single-level coverage runs in the
+        default suite above)."""
+        import random
+        random.seed(101)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("dpseq_deep", vec_size=16)
+        with prog:
+            x = Input("x")
+            y = x * x + (x << 1)           # KS at the top level
+            Output("w", y * y + (y << 2))  # KS one rescale down
+        prog.set_output_ranges(20)
+        prog.set_input_scales(40)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+
+        inputs = [{"x": [random.uniform(-1, 1) for _ in range(16)]}
+                  for _ in range(2)]
+        encs = [pub.encrypt(b, sig) for b in inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+        mesh = make_device_mesh(8, limb_axis=2, seq_axis=2)
+        combos = pub.execute_batch(compiled, encs, mesh=mesh)
+        for a, b in zip(singles, combos):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        mse = valuation_mse(sec.decrypt(combos[0], sig),
+                            evaluate(prog, inputs[0]))
+        assert mse < 0.01
+
     def test_seq_compatible_factors(self):
         from eva_tpu.parallel.seq_exec import seq_compatible
         assert seq_compatible(16384, 8)
