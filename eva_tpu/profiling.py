@@ -133,21 +133,24 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
     return results, hbm
 
 
-def estimate_program(compiled, params, *, ntt_row_us: float = 2.2,
-                     perm_row_us: float = 0.94, hbm_gbs: float = 1160.0,
-                     hbm_eff: float = 0.30, ks_alpha: int = 2,
+def estimate_program(compiled, params, *, ntt_row_us: float = 3.1,
+                     perm_row_us: float = 0.94, hbm_gbs: float = 530.0,
+                     hbm_eff: float = 0.65, ks_alpha: int = 2,
                      return_resources: bool = False):
     """Speed-of-light cost ESTIMATE of one compiled-program execution on
     one chip, from the per-kernel roofline model — the budget a measured
     run should be compared against to localize overheads (dispatch,
     transfers, poor fusion).
 
-    Model: NTT/iNTT rows cost ntt_row_us each (measured merged-twist
-    Pallas kernel at N=16384, scaled by N*log2 N); automorphism rows
-    cost perm_row_us (DevPerm MXU); everything elementwise is HBM-bound
-    at hbm_eff * hbm_gbs (measured fraction of speed-of-light for
-    dyadic kernels). Hoisted rotations amortize the shared digit stack
-    exactly like the executor does. Returns (per-class dict, total_s)."""
+    Model: NTT/iNTT rows cost ntt_row_us each (round-4 measured
+    merged-twist Pallas kernel: 37.4 us / 12 rows at N=16384, batch 8;
+    scaled by N*log2 N); automorphism rows cost perm_row_us (DevPerm
+    MXU); everything elementwise is HBM-bound at hbm_eff * hbm_gbs
+    (hardened probe reads 521-539 GB/s achievable; dyadic kernels run
+    at ~0.65-0.75 of it). Hoisted rotations amortize the shared digit
+    stack exactly like the executor does. With these calibrations the
+    Sobel budget lands at ~4.2 ms vs 4.42 ms measured (within 6%).
+    Returns (per-class dict, total_s)."""
     from .crypto.context import get_context
     from .ir import Op, Type
     from .runtime.executor import Executor
