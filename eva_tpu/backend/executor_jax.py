@@ -717,7 +717,11 @@ class JaxProgram:
         if key not in self._sharded_cache:
             from ..parallel.sharding import shard_map_compat as shard_map
             from jax.sharding import PartitionSpec as P
-            from ..parallel.sharding import batch_axes
+            from ..parallel.sharding import batch_axes, check_ici_axes
+            # Also guard hand-built meshes that bypassed make_device_mesh:
+            # collective-bearing axes must not span host processes.
+            check_ici_axes(np.asarray(mesh.devices),
+                           list(mesh.axis_names))
             bax = batch_axes(mesh)  # ("host", "batch") on a DCN mesh
             # Unbatched plain constants are replicated, not batch-sharded.
             specs = (jax.tree.map(lambda _: P(bax), cipher_in),
