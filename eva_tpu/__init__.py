@@ -20,7 +20,7 @@ __all__ = [
     "py_to_eva", "evaluate", "save", "load", "set_num_threads", "version",
 ]
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 
 def version() -> str:

@@ -123,15 +123,18 @@ def _sample_ternary(ctx: CKKSContext, rng) -> np.ndarray:
     return rng.integers(-1, 2, ctx.n, dtype=np.int64)
 
 
-def _shake_row(seed: bytes, row: int, q: int, n: int) -> np.ndarray:
+def _shake_row(seed: bytes, row: int, q: int, n: int,
+               _nbytes0: int = None) -> np.ndarray:
     """One uniform residue row from a SHAKE-128 stream, domain-separated
     by row index. Rejection-samples 32-bit words below the largest
     multiple of q so residues are exactly uniform in [0, q). SHAKE
     digests are prefix-consistent across lengths, so growing the buffer
-    on a rejection shortfall never changes already-accepted values."""
+    on a rejection shortfall never changes already-accepted values —
+    the output is independent of the starting buffer size (_nbytes0
+    exists only so tests can force the growth path)."""
     h = hashlib.shake_128(seed + b"EVA-TPU-XOF1" + struct.pack("<I", row))
     limit = ((1 << 32) // q) * q
-    nbytes = 4 * (int(n * (1 << 32) / limit * 1.03) + 64)
+    nbytes = _nbytes0 or 4 * (int(n * (1 << 32) / limit * 1.03) + 64)
     while True:
         words = np.frombuffer(h.digest(nbytes), dtype="<u4")
         kept = words[words < limit]

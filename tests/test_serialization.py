@@ -267,6 +267,17 @@ class TestSeedXOF:
                                 965509098, 1469331277, 2101111915,
                                 1800294704, 1255036654]
 
+    def test_shake_growth_path_prefix_stable(self):
+        """Forcing the rejection-shortfall growth loop (tiny initial
+        buffer) must produce the SAME row as the single-shot sizing:
+        SHAKE digests are prefix-consistent across lengths, so the wire
+        format does not depend on the buffer schedule."""
+        from eva_tpu.crypto.keys import _shake_row
+        q = (1 << 31) - 2 ** 24 + 1
+        a = _shake_row(b"\x07" * 32, 3, q, 2048)
+        b = _shake_row(b"\x07" * 32, 3, q, 2048, _nbytes0=64)
+        assert np.array_equal(a, b)
+
     def test_legacy_pcg64_files_still_load(self, monkeypatch):
         """Keys generated and serialized under the legacy XOF load and
         decrypt correctly in a default (SHAKE) process — the per-object
