@@ -515,6 +515,14 @@ class JaxProgram:
             and t.operands[0].op == Op.Relinearize
             and len(t.operands[0].uses) == 1}
         self._hoisted_sources = rotation_hoist_sources(order)
+        # Rotation-sum epilogue fusion: rotations stay in deferred
+        # (pre-division accumulator) form until a non-Add consumer, so
+        # directly-summed rotations share one P-division. Cost-neutral
+        # for lone rotations; EVA_TPU_NO_ROTSUM_FUSION restores the
+        # eager per-rotation form (both backends obey it identically).
+        import os as _os
+        self._rotsum_on = (self.k == 1 and
+                           not _os.environ.get("EVA_TPU_NO_ROTSUM_FUSION"))
         self._dp = None  # digit-parallel context (set during dp traces)
         self._seq = None  # sequence-parallel context (seq-mesh traces)
         self._jit_cache: Dict[Tuple, object] = {}
@@ -619,7 +627,8 @@ class JaxProgram:
         return ext.ntt(acc)
 
     def _ks_dp(self, coeffs, level: int, site: str, alpha: int,
-               perm=None, out_ntt: bool = True, digits=None):
+               perm=None, out_ntt: bool = True, digits=None,
+               defer: bool = False):
         """Digit-parallel key switch (SURVEY §2.9 "psum for key-switch
         digit accumulation"): each device runs the FBE + NTT + key-MAC
         pipeline for ITS digit shard, partial inner products are combined
@@ -652,6 +661,11 @@ class JaxProgram:
         if dp["axis"] is not None:
             acc0 = _modular_all_reduce(acc0, ext.q, dp["axis"], dp["n_dev"])
             acc1 = _modular_all_reduce(acc1, ext.q, dp["axis"], dp["n_dev"])
+        if defer:
+            # Rotation-sum fusion: the all-reduced accumulators are
+            # replicated across the limb axis, exactly like the tail's
+            # inputs; _ks_div2 later applies the identical division.
+            return acc0, acc1
 
         def tail(acc):
             x = ext.intt(acc)
@@ -965,22 +979,20 @@ class JaxProgram:
             acc[..., :, n_cur:, :])  # [..., n_groups, n_key, N]
         return StructDigits(own, a_ntt, b_ntt, n_groups)
 
-    def _ks_apply(self, digits: "StructDigits", level: int, layout,
-                  coeff_out=False):
+    def _ks_mac(self, digits: "StructDigits", level: int, layout):
         """Inner product of structured digits with a key-switch key in
-        the matching layout, followed by division by the special modulus
-        P. No digit-stack gathers or concatenations: the sum over digits
-        j of d[j,i]*k[j,i] is regrouped into own + foreign + key row
-        products against pre-rearranged key planes.
+        the matching layout: the pre-division extended-basis
+        accumulators. No digit-stack gathers or concatenations: the sum
+        over digits j of d[j,i]*k[j,i] is regrouped into own + foreign +
+        key row products against pre-rearranged key planes.
 
         Hoisted rotations pass an INVERSE-permuted key layout
         (DeviceKeys.layout_rot) and apply the automorphism to the two
-        outputs — see layout_rot for the commutation argument."""
+        accumulators (or outputs) — see layout_rot for the commutation
+        argument."""
         ctx = self.ctx
-        primes = ctx.primes_at_level(level)
         dev = self._ops_at(level)
         key_ops = self._lops(list(ctx.key_primes))
-        ext = self._ext_ops_at(level)
         if self._seq is not None:
             # Key planes arrive replicated (full N, evaluation domain =
             # contiguous flat layout); each device MACs its own slice.
@@ -1009,10 +1021,23 @@ class JaxProgram:
             acc_key = tree_sum(key_ops, key_ops.mul_mont(digits.b, k_b))
             return jnp.concatenate([acc_data, acc_key], axis=-2)
 
-        acc0 = ip(*layout[0])
-        acc1 = ip(*layout[1])
+        return ip(*layout[0]), ip(*layout[1])
 
-        if self._fused_ks_ok(level):
+    def _ks_apply(self, digits: "StructDigits", level: int, layout,
+                  coeff_out=False):
+        """MAC + P-division (see _ks_mac / _ks_div2)."""
+        acc0, acc1 = self._ks_mac(digits, level, layout)
+        return self._ks_div2(acc0, acc1, level, coeff_out=coeff_out)
+
+    def _ks_div2(self, acc0, acc1, level: int, coeff_out=False):
+        """Division of the two extended-basis key-switch accumulators by
+        the special modulus P — the rotation-sum fusion point: summed
+        accumulators pay this ONCE (see _rotate_acc)."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(level)
+        ext = self._ext_ops_at(level)
+
+        if self._fused_ks_ok(level) and self._dp is None:
             # Same fused iNTT + P-division (+ output NTT) epilogue kernel
             # the fully-fused path uses — one VMEM-resident pass instead
             # of three HBM round-trips per switched polynomial. This is
@@ -1099,6 +1124,89 @@ class JaxProgram:
         out_shape = lead + (n_cur, ctx.n)
         return d0.reshape(out_shape), d1.reshape(out_shape)
 
+    def _ks_fused_mac(self, coeffs, level: int, ksk, poly_ntt=None):
+        """MAC-only entry of the fused Pallas key switch: FBE + digit
+        NTTs + key MACs in one VMEM-resident kernel, returning the
+        pre-division extended-basis accumulators (the epilogue runs
+        separately via _ks_div2 — once per rotation SUM)."""
+        ctx = self.ctx
+        alpha = ksk.alpha
+        n_cur = len(ctx.primes_at_level(level))
+        y, n_groups = self._ks_fbe_y(coeffs, level, alpha)
+        lead = y.shape[:-2]
+        y = y.reshape((-1, n_groups, alpha, ctx.n))
+        x_ntt = (None if poly_ntt is None
+                 else poly_ntt.reshape((-1, n_cur, ctx.n)))
+        k0, k1 = self.dkeys.dense_layout(ksk, level)
+        acc0, acc1 = self._pallas_ks(level, alpha).mac(y, k0, k1,
+                                                       x_ntt=x_ntt)
+        shape = lead + (n_cur + len(ctx.key_primes), ctx.n)
+        return acc0.reshape(shape), acc1.reshape(shape)
+
+    def _fin(self, v):
+        """Finalize a deferred rotation-sum value ("rotsum", level, c0,
+        c1, acc0, acc1) to [c0+d0, (c1+)d1] planes; pass anything else
+        through. The single P-division here is the whole point of the
+        deferral: N summed rotations paid N MACs but share this one
+        epilogue."""
+        if not (isinstance(v, tuple) and v and v[0] == "rotsum"):
+            return v
+        _, level, c0, c1, acc0, acc1 = v
+        d0, d1 = self._ks_div2(acc0, acc1, level)
+        dev = self._ops_at(level)
+        return [dev.add(c0, d0), d1 if c1 is None else dev.add(c1, d1)]
+
+    def _rotate_acc(self, polys, steps: int, level: int,
+                    dev: DeviceLevelOps, hoist=None, src_key=None):
+        """Galois rotation in DEFERRED-division form: the rotation-sum
+        value ("rotsum", level, sigma(c0), None, acc0, acc1) with
+        acc0/acc1 the pre-division extended-basis accumulators of the
+        key switch of sigma(c1). Adds merge these exactly (modular adds
+        are order-independent bitwise); any other consumer finalizes
+        (_fin) with one shared P-division. For a LONE rotation this
+        costs exactly the eager path (same MAC kernel, one epilogue) —
+        hoisted rotations permute the accumulators instead of the
+        divided outputs, equal bits by the layout_rot commutation."""
+        ctx = self.ctx
+        g = ctx.galois_elt(steps)
+        aperm = self._aperm(g)
+        alpha = self.keys.galois[g].alpha
+        c0 = aperm(polys[0])
+        if self._dp is not None:
+            site = f"galois_{g}"
+            if hoist is not None and src_key is not None:
+                digits = hoist.get(src_key)
+                if digits is None:
+                    digits = self._ks_dp_digits(dev.intt(polys[1]), level,
+                                                alpha)
+                    hoist[src_key] = digits
+                acc0, acc1 = self._ks_dp(None, level, site, alpha,
+                                         perm=aperm, digits=digits,
+                                         defer=True)
+            else:
+                c1 = aperm(polys[1])
+                acc0, acc1 = self._ks_dp(dev.intt(c1), level, site, alpha,
+                                         defer=True)
+            return ("rotsum", level, c0, None, acc0, acc1)
+        if hoist is not None and src_key is not None:
+            digits = hoist.get(src_key)
+            if digits is None:
+                digits = self._ks_digits(polys[1], level)
+                hoist[src_key] = digits
+            layout = self.dkeys.layout_rot(self.keys.galois[g], level, g)
+            acc0, acc1 = self._ks_mac(digits, level, layout)
+            return ("rotsum", level, c0, None, aperm(acc0), aperm(acc1))
+        c1 = aperm(polys[1])
+        if self._fused_ks_ok(level):
+            acc0, acc1 = self._ks_fused_mac(dev.intt(c1), level,
+                                            self.keys.galois[g],
+                                            poly_ntt=c1)
+        else:
+            digits = self._ks_digits(c1, level, alpha)
+            acc0, acc1 = self._ks_mac(
+                digits, level, self.dkeys.layout(self.keys.galois[g], level))
+        return ("rotsum", level, c0, None, acc0, acc1)
+
     def _key_switch(self, poly, level: int, ksk, site: str = "relin"):
         if self._dp is not None:
             dev = self._ops_at(level)
@@ -1176,29 +1284,38 @@ class JaxProgram:
             if op in (Op.Add, Op.Sub, Op.Mul):
                 vals[idx] = self._binop(term, vals, dev)
             elif op == Op.Negate:
-                vals[idx] = [dev.neg(c) for c in vals[args[0].index]]
+                vals[idx] = [dev.neg(c)
+                             for c in self._fin(vals[args[0].index])]
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
-                if args[0].index in self._hoisted_sources:
-                    vals[idx] = self._rotate(vals[args[0].index], steps,
-                                             p.level, dev, hoist,
-                                             args[0].index)
+                src = self._fin(vals[args[0].index])
+                vals[args[0].index] = src  # don't re-finalize other uses
+                hk = (args[0].index
+                      if args[0].index in self._hoisted_sources else None)
+                if (self._rotsum_on and self.k == 1
+                        and steps % (ctx.n // 2) != 0):
+                    vals[idx] = self._rotate_acc(
+                        src, steps, p.level, dev,
+                        hoist if hk is not None else None, hk)
+                elif hk is not None:
+                    vals[idx] = self._rotate(src, steps, p.level, dev,
+                                             hoist, hk)
                 else:
-                    vals[idx] = self._rotate(vals[args[0].index], steps,
-                                             p.level, dev)
+                    vals[idx] = self._rotate(src, steps, p.level, dev)
             elif op == Op.Relinearize:
                 if idx in self._fused_relins:
-                    vals[idx] = vals[args[0].index]  # deferred into Rescale
+                    vals[idx] = self._fin(vals[args[0].index])
                 elif args[0].index in self._fused_rescales:
                     prev = self.plan[args[0].operands[0].index]
                     vals[idx] = self._rescale_relin(
-                        vals[args[0].index], prev.level)
+                        self._fin(vals[args[0].index]), prev.level)
                 else:
-                    vals[idx] = self._relin(vals[args[0].index], p.level, dev)
+                    vals[idx] = self._relin(self._fin(vals[args[0].index]),
+                                            p.level, dev)
             elif op == Op.ModSwitch:
-                v = vals[args[0].index]
+                v = self._fin(vals[args[0].index])
                 keep = len(ctx.primes_at_level(p.level))
                 if isinstance(v, tuple):
                     vals[idx] = ("plain", v[1][..., :keep, :])
@@ -1206,16 +1323,17 @@ class JaxProgram:
                     vals[idx] = [c[..., :keep, :] for c in v]
             elif op == Op.Rescale:
                 if idx in self._fused_rescales:
-                    vals[idx] = vals[args[0].index]  # deferred into relin
+                    vals[idx] = self._fin(vals[args[0].index])
                 elif args[0].index in self._fused_relins:
                     prev = self.plan[args[0].operands[0].index]
                     vals[idx] = self._relin_rescale(
-                        vals[args[0].index], prev.level)
+                        self._fin(vals[args[0].index]), prev.level)
                 else:
                     prev = self.plan[args[0].index]
-                    vals[idx] = self._rescale(vals[args[0].index], prev.level)
+                    vals[idx] = self._rescale(self._fin(vals[args[0].index]),
+                                              prev.level)
             elif op == Op.Output:
-                vals[idx] = vals[args[0].index]
+                vals[idx] = self._fin(vals[args[0].index])
             else:
                 raise RuntimeError(f"unsupported op in jax backend: {op.name}")
 
@@ -1223,14 +1341,51 @@ class JaxProgram:
         for name, t in self.program.outputs.items():
             if self.types[t] == Type.Raw:
                 continue  # raw outputs are computed host-side
-            v = vals[t.index]
+            v = self._fin(vals[t.index])
             out[name] = (v[1],) if isinstance(v, tuple) else tuple(v)
         return out
+
+    @staticmethod
+    def _is_rotsum(v) -> bool:
+        return isinstance(v, tuple) and len(v) == 6 and v[0] == "rotsum"
+
+    def _rotsum_add(self, a, b, dev: DeviceLevelOps):
+        """Merge/fold for Add when at least one operand is a deferred
+        rotation sum. Returns the merged rotsum, or None when the
+        combination can't stay deferred (caller finalizes). Modular adds
+        are exact and order-independent, so merged results are
+        bit-independent of association order."""
+        if self._is_rotsum(a) and self._is_rotsum(b):
+            _, level, c0a, c1a, acc0a, acc1a = a
+            _, level_b, c0b, c1b, acc0b, acc1b = b
+            if level != level_b:  # pragma: no cover - checker prevents
+                return None
+            ext = self._ext_ops_at(level)
+            c1 = (c1a if c1b is None else c1b if c1a is None
+                  else dev.add(c1a, c1b))
+            return ("rotsum", level, dev.add(c0a, c0b), c1,
+                    ext.add(acc0a, acc0b), ext.add(acc1a, acc1b))
+        if self._is_rotsum(b):
+            a, b = b, a
+        _, level, c0, c1, acc0, acc1 = a
+        if isinstance(b, tuple):  # ("plain", pt): folds into c0 only
+            return ("rotsum", level, dev.add(c0, b[1]), c1, acc0, acc1)
+        if isinstance(b, list) and len(b) == 2:
+            c1 = b[1] if c1 is None else dev.add(c1, b[1])
+            return ("rotsum", level, dev.add(c0, b[0]), c1, acc0, acc1)
+        return None  # size-3 ciphertext: finalize and add normally
 
     def _binop(self, term: Term, vals, dev: DeviceLevelOps):
         a = vals[term.operands[0].index]
         b = vals[term.operands[1].index]
         op = term.op
+        if self._is_rotsum(a) or self._is_rotsum(b):
+            if op == Op.Add:
+                merged = self._rotsum_add(a, b, dev)
+                if merged is not None:
+                    return merged
+            a = self._fin(a)
+            b = self._fin(b)
         a_plain = isinstance(a, tuple)
         b_plain = isinstance(b, tuple)
         if not a_plain and not b_plain:

@@ -136,11 +136,10 @@ def _ks_digits(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
         ctx, ctx.intt(poly_ntt, ctx.primes_at_level(level)), level, alpha)
 
 
-def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
-              perm=None, coeff_out=False):
+def _ks_mac(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
+            perm=None):
     """Inner product of (optionally automorphism-permuted) digits with a
-    key-switch key, then division by the special modulus P (key
-    sub-primes dropped one at a time with divide-and-round)."""
+    key-switch key: the pre-division extended-basis accumulators."""
     primes = ctx.primes_at_level(level)
     n_cur = len(primes)
     basis = primes + ctx.key_primes
@@ -155,16 +154,30 @@ def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
         k1 = ksk.k1[j][row_idx]
         acc0 = ctx.add(acc0, ctx.mul(d_ntt, k0, basis), basis)
         acc1 = ctx.add(acc1, ctx.mul(d_ntt, k1, basis), basis)
+    return acc0, acc1
 
-    def _div_p(acc):
-        coeffs_ext = ctx.intt(acc, basis)
-        prim = list(basis)
-        for _ in ctx.key_primes:
-            coeffs_ext = ctx.divide_by_subprime(coeffs_ext, prim)
-            prim = prim[:-1]
-        return coeffs_ext if coeff_out else ctx.ntt(coeffs_ext, primes)
 
-    return _div_p(acc0), _div_p(acc1)
+def ks_div(ctx: CKKSContext, acc: np.ndarray, level: int,
+           coeff_out=False) -> np.ndarray:
+    """Division of an extended-basis key-switch accumulator by the
+    special modulus P (key sub-primes dropped one at a time with
+    divide-and-round)."""
+    primes = ctx.primes_at_level(level)
+    basis = primes + ctx.key_primes
+    coeffs_ext = ctx.intt(acc, basis)
+    prim = list(basis)
+    for _ in ctx.key_primes:
+        coeffs_ext = ctx.divide_by_subprime(coeffs_ext, prim)
+        prim = prim[:-1]
+    return coeffs_ext if coeff_out else ctx.ntt(coeffs_ext, primes)
+
+
+def _ks_apply(ctx: CKKSContext, digits, level: int, ksk: KSwitchKey,
+              perm=None, coeff_out=False):
+    """MAC + P-division (see _ks_mac / ks_div)."""
+    acc0, acc1 = _ks_mac(ctx, digits, level, ksk, perm=perm)
+    return (ks_div(ctx, acc0, level, coeff_out),
+            ks_div(ctx, acc1, level, coeff_out))
 
 
 def _key_switch(ctx: CKKSContext, poly_ntt: np.ndarray, level: int,
@@ -217,6 +230,36 @@ def rotate(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
         digits = _ks_digits(ctx, c1, a.level, keys.ks_alpha)
         d0, d1 = _ks_apply(ctx, digits, a.level, keys.galois[g])
     return Ciphertext([ctx.add(c0, d0, primes), d1], a.level, a.scale)
+
+
+def rotate_acc(ctx: CKKSContext, keys: KeySet, a: Ciphertext, steps: int,
+               hoisted_digits=None):
+    """Rotation in DEFERRED-division form: (c0_part, acc0, acc1) where
+    c0_part = sigma(c0) (data basis) and acc0/acc1 are the pre-division
+    extended-basis key-switch accumulators of sigma applied to c1.
+
+    Enables rotation-sum epilogue fusion: accumulators of several
+    rotations that are directly summed are added exactly (modular adds
+    commute bitwise) and pay ONE P-division. ks_div(acc) then yields
+    d0/d1 such that [c0_part + d0, d1] equals the eager rotate() UP TO
+    the division rounding, which is strictly smaller for a fused sum
+    (one rounding instead of k). Caller gates: size-2, single-shard,
+    non-identity steps."""
+    assert a.size == 2 and a.polys[0].ndim == 2
+    g = ctx.galois_elt(steps)
+    assert g in keys.galois, f"no galois key for step {steps} (elt {g})"
+    c0 = ctx.apply_automorphism(a.polys[0], g)
+    if hoisted_digits is not None:
+        # Permute the shared digit stack (hoisting order); equal to the
+        # jax backend's inverse-permuted-key + permuted-output form.
+        perm = ctx.perm_for_elt(g)
+        acc0, acc1 = _ks_mac(ctx, hoisted_digits, a.level, keys.galois[g],
+                             perm=perm)
+    else:
+        c1 = ctx.apply_automorphism(a.polys[1], g)
+        digits = _ks_digits(ctx, c1, a.level, keys.ks_alpha)
+        acc0, acc1 = _ks_mac(ctx, digits, a.level, keys.galois[g])
+    return c0, acc0, acc1
 
 
 def _rotate_sharded(ctx: CKKSContext, keys: KeySet, a: Ciphertext,

@@ -39,6 +39,24 @@ class TermPlan:
         self.scale = scale
 
 
+class RotSum:
+    """Deferred rotation-sum value (numpy backend): sigma(c0) plus the
+    pre-division extended-basis key-switch accumulators of sigma(c1).
+    Adds merge these exactly; any other consumer finalizes with ONE
+    P-division — mirrors the jax backend's "rotsum" tuples bit-for-bit
+    (modular adds are order-independent)."""
+
+    __slots__ = ("level", "scale", "c0", "c1", "acc0", "acc1")
+
+    def __init__(self, level, scale, c0, c1, acc0, acc1):
+        self.level = level
+        self.scale = scale
+        self.c0 = c0
+        self.c1 = c1  # None until a plain ciphertext is folded in
+        self.acc0 = acc0
+        self.acc1 = acc1
+
+
 class Executor:
     def __init__(self, program: Program, ctx: CKKSContext, keys: K.KeySet,
                  backend: str = "numpy"):
@@ -54,6 +72,9 @@ class Executor:
         self._encode_cache: Dict[int, object] = {}
         self._input_free: Dict[int, bool] = {}
         self._hoisted_sources = rotation_hoist_sources(self.order)
+        import os
+        self._rotsum_on = (program.vec_size <= ctx.n // 2 and
+                           not os.environ.get("EVA_TPU_NO_ROTSUM_FUSION"))
         self._make_plan()
 
     # -- planning ------------------------------------------------------------
@@ -313,6 +334,49 @@ class Executor:
                 outputs[name] = raw_vals[t.operands[0].index]
         return outputs
 
+    def _fin(self, v):
+        """Finalize a deferred RotSum to a Ciphertext (one P-division
+        for however many rotations were merged into it)."""
+        if not isinstance(v, RotSum):
+            return v
+        ctx = self.ctx
+        primes = ctx.primes_at_level(v.level)
+        d0 = O.ks_div(ctx, v.acc0, v.level)
+        d1 = O.ks_div(ctx, v.acc1, v.level)
+        c0 = ctx.add(v.c0, d0, primes)
+        c1 = d1 if v.c1 is None else ctx.add(v.c1, d1, primes)
+        return Ciphertext([c0, c1], v.level, v.scale)
+
+    def _rotsum_add(self, a, b):
+        """Merge/fold for Add when at least one operand is a RotSum;
+        None when the combination can't stay deferred (mirrors the jax
+        backend's _rotsum_add exactly)."""
+        ctx = self.ctx
+        if isinstance(a, RotSum) and isinstance(b, RotSum):
+            if a.level != b.level:  # pragma: no cover - checker prevents
+                return None
+            primes = ctx.primes_at_level(a.level)
+            basis = primes + ctx.key_primes
+            c1 = (a.c1 if b.c1 is None else b.c1 if a.c1 is None
+                  else ctx.add(a.c1, b.c1, primes))
+            return RotSum(a.level, a.scale,
+                          ctx.add(a.c0, b.c0, primes), c1,
+                          ctx.add(a.acc0, b.acc0, basis),
+                          ctx.add(a.acc1, b.acc1, basis))
+        if isinstance(b, RotSum):
+            a, b = b, a
+        primes = ctx.primes_at_level(a.level)
+        if isinstance(b, Plaintext):
+            return RotSum(a.level, a.scale, ctx.add(a.c0, b.poly, primes),
+                          a.c1, a.acc0, a.acc1)
+        if isinstance(b, Ciphertext) and b.size == 2:
+            c1 = (b.polys[1] if a.c1 is None
+                  else ctx.add(a.c1, b.polys[1], primes))
+            return RotSum(a.level, a.scale,
+                          ctx.add(a.c0, b.polys[0], primes), c1,
+                          a.acc0, a.acc1)
+        return None  # size-3 ciphertext: finalize and add normally
+
     def _run_numpy(self, inputs: Dict) -> Dict:
         values: Dict[int, object] = {}
         hoist: Dict[int, object] = {}  # rotation digit cache per source term
@@ -390,13 +454,15 @@ class Executor:
             if op in (Op.Add, Op.Sub, Op.Mul):
                 values[term.index] = self._binop(term, values)
             elif op == Op.Negate:
-                values[term.index] = O.negate(ctx, values[args[0].index])
+                values[term.index] = O.negate(
+                    ctx, self._fin(values[args[0].index]))
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
                 src = args[0].index
-                ct = values[src]
+                ct = self._fin(values[src])
+                values[src] = ct  # don't re-finalize other uses
                 # Logical rotation period: slots for one ciphertext, the
                 # full vector length for sharded big vectors.
                 period = max(ctx.n // 2, vec_size)
@@ -406,10 +472,20 @@ class Executor:
                 if (steps % period != 0 and src not in hoist
                         and src in self._hoisted_sources):
                     hoist[src] = O.hoist_digits(ctx, ct, self.keys.ks_alpha)
-                values[term.index] = O.rotate(
-                    ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
+                if (self._rotsum_on and steps % period != 0
+                        and ct.size == 2 and ct.polys[0].ndim == 2):
+                    # Deferred-division form (rotation-sum fusion);
+                    # mirrors the jax backend's _rotate_acc.
+                    c0, acc0, acc1 = O.rotate_acc(
+                        ctx, keys, ct, steps,
+                        hoisted_digits=hoist.get(src))
+                    values[term.index] = RotSum(ct.level, ct.scale, c0,
+                                                None, acc0, acc1)
+                else:
+                    values[term.index] = O.rotate(
+                        ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:
-                v = values[args[0].index]
+                v = self._fin(values[args[0].index])
                 if term.index in fused_relins:
                     values[term.index] = v  # deferred into the Rescale
                 elif args[0].index in fused_rescales:
@@ -417,7 +493,7 @@ class Executor:
                 else:
                     values[term.index] = O.relinearize(ctx, keys, v)
             elif op == Op.ModSwitch:
-                v = values[args[0].index]
+                v = self._fin(values[args[0].index])
                 if isinstance(v, Plaintext):
                     values[term.index] = O.mod_switch_plain(ctx, v)
                 else:
@@ -426,25 +502,34 @@ class Executor:
                 if term.index in fused_rescales:
                     # Deferred: the consuming Relinearize applies the fused
                     # rescale+relinearize on this node's INPUT.
-                    values[term.index] = values[args[0].index]
+                    values[term.index] = self._fin(values[args[0].index])
                 elif args[0].index in fused_relins:
                     values[term.index] = O.relinearize_rescale(
-                        ctx, keys, values[args[0].index])
+                        ctx, keys, self._fin(values[args[0].index]))
                 else:
-                    values[term.index] = O.rescale(ctx, values[args[0].index])
+                    values[term.index] = O.rescale(
+                        ctx, self._fin(values[args[0].index]))
             elif op == Op.Output:
-                values[term.index] = values[args[0].index]
+                values[term.index] = self._fin(values[args[0].index])
             else:
                 raise RuntimeError(f"Unhandled op {op.name}")
             consume(term)
 
-        return {name: values[t.index] for name, t in self.program.outputs.items()}
+        return {name: self._fin(values[t.index])
+                for name, t in self.program.outputs.items()}
 
     def _binop(self, term: Term, values: Dict):
         ctx = self.ctx
         a = values[term.operands[0].index]
         b = values[term.operands[1].index]
         op = term.op
+        if isinstance(a, RotSum) or isinstance(b, RotSum):
+            if op == Op.Add:
+                merged = self._rotsum_add(a, b)
+                if merged is not None:
+                    return merged
+            a = self._fin(a)
+            b = self._fin(b)
         a_ct, b_ct = isinstance(a, Ciphertext), isinstance(b, Ciphertext)
         if a_ct and b_ct:
             same = term.operands[0] is term.operands[1]

@@ -438,3 +438,74 @@ def test_recommend_mesh():
             assert seq_compatible(n, shape["seq"])
     # latency ordering holds for the winner
     assert table_l[0][1] <= table_l[-1][1]
+
+
+class TestRotationSumFusion:
+    """Rotation-sum epilogue fusion: rotations stay in deferred
+    (pre-division accumulator) form until a non-Add consumer; directly
+    summed rotations share ONE P-division. Lone rotations must be
+    bit-identical to the eager form (same MAC, same single epilogue);
+    sums differ only by the division rounding (strictly fewer roundings)
+    and must stay bit-identical ACROSS backends."""
+
+    def _compile(self, name, f, vec=16):
+        from eva_tpu import EvaProgram, Input, Output
+        from eva_tpu.ckks import CKKSCompiler
+        prog = EvaProgram(name, vec_size=vec)
+        with prog:
+            x = Input("x")
+            Output("y", f(x))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        return prog, *CKKSCompiler({"warn_vec_size": "false"}).compile(prog)
+
+    def test_cross_backend_bit_identical_fused_shapes(self):
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.metric import valuation_mse
+        from eva_tpu.runtime import generate_keys, EVAPublic
+        random.seed(5)
+        cases = {
+            "hoisted_sum": lambda x: (x << 1) + (x << 2) + (x << 3) - 2,
+            "giants": lambda x: ((x * x + (x << 1))
+                                 + ((x * 1.5 + 1) << 2)) + ((x * 0.5) << 3),
+            "rot_of_sum": lambda x: ((x << 1) + (x << 2)) << 3,
+            "mixed_sub": lambda x: ((x << 1) + (x << 2)) - (x << 3),
+        }
+        for name, f in cases.items():
+            prog, compiled, params, sig = self._compile(name, f)
+            inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
+            pub_j, sec = generate_keys(params, backend="jax")
+            enc = pub_j.encrypt(inputs, sig)
+            out_j = pub_j.execute(compiled, enc)
+            pub_n = EVAPublic(pub_j.ctx, pub_j._keys, params,
+                              backend="numpy")
+            out_n = pub_n.execute(compiled, enc)
+            for k in out_j:
+                for a, b in zip(out_j[k].polys, out_n[k].polys):
+                    assert np.array_equal(
+                        np.asarray(a).astype(np.uint64),
+                        np.asarray(b).astype(np.uint64)), (name, k)
+            mse = valuation_mse(sec.decrypt(out_j, sig),
+                                evaluate(prog, inputs))
+            assert mse < 0.01, (name, mse)
+
+    def test_lone_rotation_bit_matches_eager(self, monkeypatch):
+        """Deferral is cost- and bit-neutral for a single rotation: the
+        fused and EVA_TPU_NO_ROTSUM_FUSION forms agree exactly."""
+        import random
+        from eva_tpu.runtime import generate_keys, EVAPublic
+        random.seed(7)
+        prog, compiled, params, sig = self._compile(
+            "lone", lambda x: (x << 1) * 2.0 + 1)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
+        pub, sec = generate_keys(params, backend="jax")
+        enc = pub.encrypt(inputs, sig)
+        out_f = pub.execute(compiled, enc)
+        monkeypatch.setenv("EVA_TPU_NO_ROTSUM_FUSION", "1")
+        pub2 = EVAPublic(pub.ctx, pub._keys, params, backend="jax")
+        out_e = pub2.execute(compiled, enc)
+        for k in out_f:
+            for a, b in zip(out_f[k].polys, out_e[k].polys):
+                assert np.array_equal(np.asarray(a).astype(np.uint64),
+                                      np.asarray(b).astype(np.uint64))
