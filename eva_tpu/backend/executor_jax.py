@@ -1156,6 +1156,18 @@ class JaxProgram:
         dev = self._ops_at(level)
         return [dev.add(c0, d0), d1 if c1 is None else dev.add(c1, d1)]
 
+    def _fin_at(self, vals, idx: int):
+        """Finalize vals[idx] IN PLACE: a multi-use rotsum must pay its
+        epilogue once, and later consumers (including Adds, which then
+        fold planes instead of merging accumulators) must observe the
+        same finalized value in BOTH backends — write-back keeps the
+        decision points deterministic and identical."""
+        v = vals[idx]
+        f = self._fin(v)
+        if f is not v:
+            vals[idx] = f
+        return f
+
     def _rotate_acc(self, polys, steps: int, level: int,
                     dev: DeviceLevelOps, hoist=None, src_key=None):
         """Galois rotation in DEFERRED-division form: the rotation-sum
@@ -1285,13 +1297,12 @@ class JaxProgram:
                 vals[idx] = self._binop(term, vals, dev)
             elif op == Op.Negate:
                 vals[idx] = [dev.neg(c)
-                             for c in self._fin(vals[args[0].index])]
+                             for c in self._fin_at(vals, args[0].index)]
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
-                src = self._fin(vals[args[0].index])
-                vals[args[0].index] = src  # don't re-finalize other uses
+                src = self._fin_at(vals, args[0].index)
                 hk = (args[0].index
                       if args[0].index in self._hoisted_sources else None)
                 if (self._rotsum_on and self.k == 1
@@ -1306,16 +1317,16 @@ class JaxProgram:
                     vals[idx] = self._rotate(src, steps, p.level, dev)
             elif op == Op.Relinearize:
                 if idx in self._fused_relins:
-                    vals[idx] = self._fin(vals[args[0].index])
+                    vals[idx] = self._fin_at(vals, args[0].index)
                 elif args[0].index in self._fused_rescales:
                     prev = self.plan[args[0].operands[0].index]
                     vals[idx] = self._rescale_relin(
-                        self._fin(vals[args[0].index]), prev.level)
+                        self._fin_at(vals, args[0].index), prev.level)
                 else:
-                    vals[idx] = self._relin(self._fin(vals[args[0].index]),
+                    vals[idx] = self._relin(self._fin_at(vals, args[0].index),
                                             p.level, dev)
             elif op == Op.ModSwitch:
-                v = self._fin(vals[args[0].index])
+                v = self._fin_at(vals, args[0].index)
                 keep = len(ctx.primes_at_level(p.level))
                 if isinstance(v, tuple):
                     vals[idx] = ("plain", v[1][..., :keep, :])
@@ -1323,17 +1334,17 @@ class JaxProgram:
                     vals[idx] = [c[..., :keep, :] for c in v]
             elif op == Op.Rescale:
                 if idx in self._fused_rescales:
-                    vals[idx] = self._fin(vals[args[0].index])
+                    vals[idx] = self._fin_at(vals, args[0].index)
                 elif args[0].index in self._fused_relins:
                     prev = self.plan[args[0].operands[0].index]
                     vals[idx] = self._relin_rescale(
-                        self._fin(vals[args[0].index]), prev.level)
+                        self._fin_at(vals, args[0].index), prev.level)
                 else:
                     prev = self.plan[args[0].index]
-                    vals[idx] = self._rescale(self._fin(vals[args[0].index]),
-                                              prev.level)
+                    vals[idx] = self._rescale(
+                        self._fin_at(vals, args[0].index), prev.level)
             elif op == Op.Output:
-                vals[idx] = self._fin(vals[args[0].index])
+                vals[idx] = self._fin_at(vals, args[0].index)
             else:
                 raise RuntimeError(f"unsupported op in jax backend: {op.name}")
 
@@ -1341,7 +1352,7 @@ class JaxProgram:
         for name, t in self.program.outputs.items():
             if self.types[t] == Type.Raw:
                 continue  # raw outputs are computed host-side
-            v = self._fin(vals[t.index])
+            v = self._fin_at(vals, t.index)
             out[name] = (v[1],) if isinstance(v, tuple) else tuple(v)
         return out
 
@@ -1384,8 +1395,8 @@ class JaxProgram:
                 merged = self._rotsum_add(a, b, dev)
                 if merged is not None:
                     return merged
-            a = self._fin(a)
-            b = self._fin(b)
+            a = self._fin_at(vals, term.operands[0].index)
+            b = self._fin_at(vals, term.operands[1].index)
         a_plain = isinstance(a, tuple)
         b_plain = isinstance(b, tuple)
         if not a_plain and not b_plain:

@@ -347,6 +347,16 @@ class Executor:
         c1 = d1 if v.c1 is None else ctx.add(v.c1, d1, primes)
         return Ciphertext([c0, c1], v.level, v.scale)
 
+    def _fin_at(self, values, idx):
+        """Finalize values[idx] in place (multi-use rotsums pay one
+        division; later consumers observe the finalized value at the
+        same program positions as the jax backend)."""
+        v = values[idx]
+        f = self._fin(v)
+        if f is not v:
+            values[idx] = f
+        return f
+
     def _rotsum_add(self, a, b):
         """Merge/fold for Add when at least one operand is a RotSum;
         None when the combination can't stay deferred (mirrors the jax
@@ -455,14 +465,13 @@ class Executor:
                 values[term.index] = self._binop(term, values)
             elif op == Op.Negate:
                 values[term.index] = O.negate(
-                    ctx, self._fin(values[args[0].index]))
+                    ctx, self._fin_at(values, args[0].index))
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
                     steps = -steps
                 src = args[0].index
-                ct = self._fin(values[src])
-                values[src] = ct  # don't re-finalize other uses
+                ct = self._fin_at(values, src)
                 # Logical rotation period: slots for one ciphertext, the
                 # full vector length for sharded big vectors.
                 period = max(ctx.n // 2, vec_size)
@@ -485,7 +494,7 @@ class Executor:
                     values[term.index] = O.rotate(
                         ctx, keys, ct, steps, hoisted_digits=hoist.get(src))
             elif op == Op.Relinearize:
-                v = self._fin(values[args[0].index])
+                v = self._fin_at(values, args[0].index)
                 if term.index in fused_relins:
                     values[term.index] = v  # deferred into the Rescale
                 elif args[0].index in fused_rescales:
@@ -493,7 +502,7 @@ class Executor:
                 else:
                     values[term.index] = O.relinearize(ctx, keys, v)
             elif op == Op.ModSwitch:
-                v = self._fin(values[args[0].index])
+                v = self._fin_at(values, args[0].index)
                 if isinstance(v, Plaintext):
                     values[term.index] = O.mod_switch_plain(ctx, v)
                 else:
@@ -502,20 +511,20 @@ class Executor:
                 if term.index in fused_rescales:
                     # Deferred: the consuming Relinearize applies the fused
                     # rescale+relinearize on this node's INPUT.
-                    values[term.index] = self._fin(values[args[0].index])
+                    values[term.index] = self._fin_at(values, args[0].index)
                 elif args[0].index in fused_relins:
                     values[term.index] = O.relinearize_rescale(
-                        ctx, keys, self._fin(values[args[0].index]))
+                        ctx, keys, self._fin_at(values, args[0].index))
                 else:
                     values[term.index] = O.rescale(
-                        ctx, self._fin(values[args[0].index]))
+                        ctx, self._fin_at(values, args[0].index))
             elif op == Op.Output:
-                values[term.index] = self._fin(values[args[0].index])
+                values[term.index] = self._fin_at(values, args[0].index)
             else:
                 raise RuntimeError(f"Unhandled op {op.name}")
             consume(term)
 
-        return {name: self._fin(values[t.index])
+        return {name: self._fin_at(values, t.index)
                 for name, t in self.program.outputs.items()}
 
     def _binop(self, term: Term, values: Dict):
@@ -528,8 +537,8 @@ class Executor:
                 merged = self._rotsum_add(a, b)
                 if merged is not None:
                     return merged
-            a = self._fin(a)
-            b = self._fin(b)
+            a = self._fin_at(values, term.operands[0].index)
+            b = self._fin_at(values, term.operands[1].index)
         a_ct, b_ct = isinstance(a, Ciphertext), isinstance(b, Ciphertext)
         if a_ct and b_ct:
             same = term.operands[0] is term.operands[1]
