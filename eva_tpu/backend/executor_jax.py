@@ -72,6 +72,17 @@ def _to_u32(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
+def _plain_np(pt) -> np.ndarray:
+    """Host plaintext planes for upload: the data-prime rows, with the
+    extended-basis (key-prime) rows appended when the encode carries them
+    (Plaintext.ext; rotation-sum baby-step fusion). The trace detects the
+    extra rows by shape — rows :n_cur are exactly the normal encoding."""
+    arr = _to_u32(pt.poly)
+    if getattr(pt, "ext", None) is not None:
+        arr = np.concatenate([arr, _to_u32(pt.ext)], axis=-2)
+    return arr
+
+
 def _hoist_consts_jit(fn, example_args, const_sharding=None):
     """jit(fn) with every captured array hoisted into an argument.
 
@@ -1296,8 +1307,12 @@ class JaxProgram:
             if op in (Op.Add, Op.Sub, Op.Mul):
                 vals[idx] = self._binop(term, vals, dev)
             elif op == Op.Negate:
-                vals[idx] = [dev.neg(c)
-                             for c in self._fin_at(vals, args[0].index)]
+                v = vals[args[0].index]
+                if self._is_rotsum(v):
+                    vals[idx] = self._rotsum_neg(v, dev)
+                else:
+                    vals[idx] = [dev.neg(c)
+                                 for c in self._fin_at(vals, args[0].index)]
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
@@ -1353,48 +1368,103 @@ class JaxProgram:
             if self.types[t] == Type.Raw:
                 continue  # raw outputs are computed host-side
             v = self._fin_at(vals, t.index)
-            out[name] = (v[1],) if isinstance(v, tuple) else tuple(v)
+            if isinstance(v, tuple):  # plain output: drop any ext rows
+                n_cur = len(ctx.primes_at_level(self.plan[t.index].level))
+                out[name] = (v[1][..., :n_cur, :],)
+            else:
+                out[name] = tuple(v)
         return out
 
     @staticmethod
     def _is_rotsum(v) -> bool:
         return isinstance(v, tuple) and len(v) == 6 and v[0] == "rotsum"
 
-    def _rotsum_add(self, a, b, dev: DeviceLevelOps):
-        """Merge/fold for Add when at least one operand is a deferred
+    def _rotsum_add(self, a, b, dev: DeviceLevelOps, sub: bool = False):
+        """Merge/fold for Add/Sub when at least one operand is a deferred
         rotation sum. Returns the merged rotsum, or None when the
         combination can't stay deferred (caller finalizes). Modular adds
         are exact and order-independent, so merged results are
-        bit-independent of association order."""
+        bit-independent of association order; sub merging is sound the
+        same way (round(-x/P) = -round(x/P): odd centered rounding)."""
         if self._is_rotsum(a) and self._is_rotsum(b):
             _, level, c0a, c1a, acc0a, acc1a = a
             _, level_b, c0b, c1b, acc0b, acc1b = b
             if level != level_b:  # pragma: no cover - checker prevents
                 return None
             ext = self._ext_ops_at(level)
-            c1 = (c1a if c1b is None else c1b if c1a is None
-                  else dev.add(c1a, c1b))
-            return ("rotsum", level, dev.add(c0a, c0b), c1,
-                    ext.add(acc0a, acc0b), ext.add(acc1a, acc1b))
+            f, fe = (dev.sub, ext.sub) if sub else (dev.add, ext.add)
+            if c1b is None:
+                c1 = c1a
+            elif c1a is None:
+                c1 = dev.neg(c1b) if sub else c1b
+            else:
+                c1 = f(c1a, c1b)
+            return ("rotsum", level, f(c0a, c0b), c1,
+                    fe(acc0a, acc0b), fe(acc1a, acc1b))
         if self._is_rotsum(b):
+            if sub:  # a - rs: negate every rs component, then add
+                b = self._rotsum_neg(b, dev)
+                sub = False
             a, b = b, a
         _, level, c0, c1, acc0, acc1 = a
+        f = dev.sub if sub else dev.add
         if isinstance(b, tuple):  # ("plain", pt): folds into c0 only
-            return ("rotsum", level, dev.add(c0, b[1]), c1, acc0, acc1)
+            pt = b[1]
+            if pt.shape[-2] != c0.shape[-2]:  # extended-basis rows present
+                pt = pt[..., :c0.shape[-2], :]
+            return ("rotsum", level, f(c0, pt), c1, acc0, acc1)
         if isinstance(b, list) and len(b) == 2:
-            c1 = b[1] if c1 is None else dev.add(c1, b[1])
-            return ("rotsum", level, dev.add(c0, b[0]), c1, acc0, acc1)
+            if c1 is None:
+                c1 = dev.neg(b[1]) if sub else b[1]
+            else:
+                c1 = f(c1, b[1])
+            return ("rotsum", level, f(c0, b[0]), c1, acc0, acc1)
         return None  # size-3 ciphertext: finalize and add normally
+
+    def _rotsum_mul(self, rs, pt):
+        """Baby-step fusion: multiply a deferred rotation sum by a
+        plaintext whose upload carries extended-basis rows (shape
+        n_cur + n_key; see _plain_np / crypto.keys.encode ext_primes).
+        The multiply distributes over the pre-division accumulators, so
+        rot(x,s)*w products keep merging through Adds and the whole BSGS
+        inner sum pays ONE P-division — with strictly less noise than
+        the eager form (the per-rotation division roundings are no
+        longer scaled by w). Anchor: reference
+        examples/image_processing.py:36-58 conv taps."""
+        _, level, c0, c1, acc0, acc1 = rs
+        n_cur = len(self.ctx.primes_at_level(level))
+        dev = self._ops_at(level)
+        ext = self._ext_ops_at(level)
+        ptq = pt[..., :n_cur, :]
+        return ("rotsum", level, dev.mul(c0, ptq),
+                None if c1 is None else dev.mul(c1, ptq),
+                ext.mul(acc0, pt), ext.mul(acc1, pt))
+
+    def _rotsum_neg(self, rs, dev: DeviceLevelOps):
+        """Negate a deferred rotation sum without finalizing — EXACTLY
+        equal to negate-after-finalize (odd centered rounding)."""
+        _, level, c0, c1, acc0, acc1 = rs
+        ext = self._ext_ops_at(level)
+        return ("rotsum", level, dev.neg(c0),
+                None if c1 is None else dev.neg(c1),
+                ext.neg(acc0), ext.neg(acc1))
 
     def _binop(self, term: Term, vals, dev: DeviceLevelOps):
         a = vals[term.operands[0].index]
         b = vals[term.operands[1].index]
         op = term.op
         if self._is_rotsum(a) or self._is_rotsum(b):
-            if op == Op.Add:
-                merged = self._rotsum_add(a, b, dev)
+            if op in (Op.Add, Op.Sub):
+                merged = self._rotsum_add(a, b, dev, sub=(op == Op.Sub))
                 if merged is not None:
                     return merged
+            elif op == Op.Mul:
+                rs, other = (a, b) if self._is_rotsum(a) else (b, a)
+                if (not self._is_rotsum(other) and isinstance(other, tuple)
+                        and other[0] == "plain"
+                        and other[1].shape[-2] > len(
+                            self.ctx.primes_at_level(rs[1]))):
+                    return self._rotsum_mul(rs, other[1])
             a = self._fin_at(vals, term.operands[0].index)
             b = self._fin_at(vals, term.operands[1].index)
         a_plain = isinstance(a, tuple)
@@ -1420,6 +1490,8 @@ class JaxProgram:
                 raise RuntimeError("plain - cipher should have been lowered")
             a, b = b, a
         pt = b[1]
+        if pt.shape[-2] != a[0].shape[-2]:  # extended-basis rows present
+            pt = pt[..., :a[0].shape[-2], :]
         if op == Op.Add:
             return [dev.add(a[0], pt)] + list(a[1:])
         if op == Op.Sub:
@@ -1695,7 +1767,7 @@ class JaxProgram:
                 if all(hv[idx] is v for hv in host_values_list):
                     plain_unbatched.add(key)
                     dev_arr = self._upload(
-                        v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
+                        v, lambda pt: jnp.asarray(_plain_np(pt)))
                     if mesh is not None:
                         # Match the shard_map in_spec for unbatched
                         # plains: P(None, "seq") on a seq mesh (avoids a
@@ -1710,7 +1782,7 @@ class JaxProgram:
                     plain_in[key] = dev_arr
                 else:
                     plain_in[key] = place(jnp.asarray(np.stack(
-                        [_to_u32(hv[idx].poly) for hv in host_values_list])))
+                        [_plain_np(hv[idx]) for hv in host_values_list])))
 
         if mesh is None:
             out = self._jitted(cipher_in, plain_in)
@@ -1760,7 +1832,7 @@ class JaxProgram:
                                        for c in ct.polys])
                 elif isinstance(v, Plaintext):
                     plain_in[f"t{idx}"] = self._upload(
-                        v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
+                        v, lambda pt: jnp.asarray(_plain_np(pt)))
             out = self._jitted(cipher_in, plain_in)
             for planes in out.values():
                 for c in planes:
@@ -1803,7 +1875,7 @@ class JaxProgram:
                     v, lambda ct: [jnp.asarray(_to_u32(c)) for c in ct.polys])
             elif isinstance(v, Plaintext):
                 plain_in[f"t{idx}"] = self._upload(
-                    v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
+                    v, lambda pt: jnp.asarray(_plain_np(pt)))
         out = self._jitted(cipher_in, plain_in)
         result = {}
         for name, t in self.program.outputs.items():

@@ -43,3 +43,10 @@ class Plaintext:
     poly: np.ndarray  # [n_sub, N] uint64, NTT domain
     level: int
     scale: float
+    # Optional key-prime (special-modulus) NTT planes [n_key, N] of the
+    # SAME integer coefficient polynomial, used by the rotation-sum
+    # baby-step fusion: multiplying a deferred (pre-P-division)
+    # key-switch accumulator by this plaintext needs its residues in the
+    # extended basis Q_l + P. Transient — never serialized (the wire
+    # format carries only `poly`; ext regenerates from the raw values).
+    ext: np.ndarray = None

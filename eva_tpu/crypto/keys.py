@@ -297,12 +297,18 @@ def encrypt(ctx: CKKSContext, keys: KeySet, values: Sequence[float],
 
 
 def encode(ctx: CKKSContext, values: Sequence[float], scale: float,
-           level: int) -> Plaintext:
+           level: int, ext_primes: Sequence[int] = None) -> Plaintext:
     """Encode at `scale`, `level`. Vectors shorter than the slot count are
     replicated to fill the slots; vectors LARGER than the slot count are
     sharded round-robin across k = len/slots polynomials (crypto/bigvec
     layout: logical slot s -> shard s mod k, position s div k), returned
-    as a [k, n_sub, N] plane stack."""
+    as a [k, n_sub, N] plane stack.
+
+    `ext_primes` (normally ctx.key_primes) additionally reduces the SAME
+    rounded integer coefficients into those primes and attaches the NTT
+    planes as Plaintext.ext — the extended-basis form the rotation-sum
+    baby-step fusion multiplies key-switch accumulators by. Ignored for
+    sharded big vectors (fusion is gated off at k > 1)."""
     slots = ctx.n // 2
     v = np.asarray(values, dtype=np.float64)
     primes = ctx.primes_at_level(level)
@@ -320,7 +326,11 @@ def encode(ctx: CKKSContext, values: Sequence[float], scale: float,
         v = np.tile(v, slots // len(v))
     coeffs = ctx.encoder.values_to_coeffs(v, scale)
     residues = ctx.encoder.coeffs_to_residues(coeffs, primes)
-    return Plaintext(ctx.ntt(residues, primes), level, float(scale))
+    ext = None
+    if ext_primes:
+        ext = ctx.ntt(ctx.encoder.coeffs_to_residues(coeffs, list(ext_primes)),
+                      list(ext_primes))
+    return Plaintext(ctx.ntt(residues, primes), level, float(scale), ext=ext)
 
 
 def encrypt_plain(ctx: CKKSContext, keys: KeySet, pt: Plaintext) -> Ciphertext:

@@ -244,6 +244,26 @@ class BSGSRotationFactorizer:
 
     MIN_ROTATIONS = 4  # below this the rewrite cannot win
 
+    # Execution-cost model (units of one key-MAC) for the factorization
+    # decision, reflecting how the executors actually run rotations:
+    # every rotation of one source shares ONE hoisted digit decomposition
+    # (the dominant cost: the extended-basis NTTs), each rotation pays a
+    # key-MAC, and rotation-sum fusion defers the P-division epilogue to
+    # the consuming sum — EXCEPT that each giant-step rotation must
+    # finalize its inner sum first (a full two-polynomial epilogue) and
+    # decompose it afresh. Direct form: DEC + R*MAC. BSGS(s): baby DEC +
+    # B*MAC + G*(DEC + MAC + EPI). Ratios from the measured kernel
+    # speed-of-light section (BENCH_r04 kernel_sol: ks_digits 288 us,
+    # mac+epilogue 210 us at N=16384 L=6): decomposition ~3 MACs, the
+    # two-poly division epilogue ~1.5 MACs. Small convolutions (3x3..5x5)
+    # therefore stay DIRECT — one decomposition and one fused epilogue
+    # beat 2(K-1) extra decompositions — while wide rotation sets
+    # (~>6x6) still factor. Override: config bsgs_rotations=false
+    # disables factoring entirely.
+    DEC_COST = 3.0
+    MAC_COST = 1.0
+    EPI_COST = 1.5
+
     def __init__(self, program: Program, types: TermMap, scales: TermMap):
         self.program = program
         self.types = types
@@ -281,19 +301,24 @@ class BSGSRotationFactorizer:
                     return (hit[0], hit[1], w_side)
         return None
 
-    @staticmethod
-    def _plan(rotations):
-        """Best (stride, cost) over candidate strides; cost = number of
-        key switches after the rewrite."""
+    @classmethod
+    def _plan(cls, rotations):
+        """Best (stride, cost) over candidate strides under the
+        execution-cost model (see class constants); stride None means
+        the direct (unfactored) form wins."""
         rs = sorted(set(rotations))
-        base_cost = len([r for r in rs if r != 0])
+        n_rot = len([r for r in rs if r != 0])
+        base_cost = cls.DEC_COST + n_rot * cls.MAC_COST
         cands = set(r for r in rs if r > 1)
         cands.update(b - a for a, b in zip(rs, rs[1:]) if b - a > 1)
         best = (None, base_cost)
         for s in cands:
-            babies = {r % s for r in rs}
-            giants = {r - r % s for r in rs}
-            cost = (len(babies - {0}) + len(giants - {0}))
+            n_baby = len({r % s for r in rs} - {0})
+            n_giant = len({r - r % s for r in rs} - {0})
+            cost = ((cls.DEC_COST if n_baby else 0.0)
+                    + n_baby * cls.MAC_COST
+                    + n_giant * (cls.DEC_COST + cls.MAC_COST
+                                 + cls.EPI_COST))
             if cost < best[1]:
                 best = (s, cost)
         return best

@@ -75,7 +75,14 @@ class Executor:
         import os
         self._rotsum_on = (program.vec_size <= ctx.n // 2 and
                            not os.environ.get("EVA_TPU_NO_ROTSUM_FUSION"))
+        # Baby-step extension: Mul(rotation-sum, plaintext) stays in
+        # deferred pre-division form when the plaintext carries
+        # extended-basis planes (Plaintext.ext). EVA_TPU_NO_ROTMUL_FUSION
+        # restores the round-4 behavior (finalize at every multiply).
+        self._rotmul_on = (self._rotsum_on and
+                           not os.environ.get("EVA_TPU_NO_ROTMUL_FUSION"))
         self._make_plan()
+        self._ext_encodes = self._mark_ext_encodes()
 
     # -- planning ------------------------------------------------------------
 
@@ -210,6 +217,110 @@ class Executor:
                 return False
         return False
 
+    def _mark_ext_encodes(self) -> set:
+        """Encode terms whose plaintexts must carry extended-basis
+        (key-prime) planes: exactly those an executor will multiply with
+        a DEFERRED rotation sum (baby-step fusion).
+
+        Marking is a PROFITABILITY decision, not a reflex: deferring
+        rot*const products keeps inner sums in accumulator form, which
+        WINS for direct convolutions (one epilogue per sum instead of
+        one per rotation) but LOSES for BSGS-factorized programs — there
+        the baby rotations are shared across giant groups, and deferral
+        moves the P-division from the (few, shared) baby rotations to
+        the (more numerous) per-giant inner sums. Both policies are
+        simulated and the one with STRICTLY fewer finalization epilogues
+        wins (ties prefer eager: at equal division counts the deferred
+        multiply touches 2 extended-basis accumulator stacks instead of
+        2 data-basis polynomials, and eager keeps lone rotations
+        bit-identical to the unfused form). Reference anchor:
+        examples/image_processing.py:36-58 conv taps; the BSGS shape is
+        this repo's RotationNormalizer."""
+        if not self._rotmul_on:
+            return set()
+        marked_a, fins_a = self._simulate_rotsum(defer_mul=True)
+        _, fins_b = self._simulate_rotsum(defer_mul=False)
+        return marked_a if fins_a < fins_b else set()
+
+    def _simulate_rotsum(self, defer_mul: bool):
+        """Structural simulation of the backends' identical runtime
+        rotation-sum decisions — kinds: 'p' plain-from-Encode (ext
+        attachable), 'pn' plain without ext, 'c2'/'c3' ciphertexts,
+        'rs' deferred rotation sum. Finalization write-backs (_fin_at)
+        are mirrored by mutating the kind in place, so multi-use
+        decision points line up with both backends. Returns
+        (marked encode indices, finalization-epilogue count)."""
+        marked: set = set()
+        fin_events = [0]
+        kinds: Dict[int, str] = {}
+        period = max(self.ctx.n // 2, self.program.vec_size)
+
+        def fin(idx):
+            if kinds.get(idx) == "rs":
+                kinds[idx] = "c2"
+                fin_events[0] += 1
+            return kinds.get(idx, "c2")
+
+        for term in self.order:
+            op = term.op
+            idx = term.index
+            if self.types[term] == Type.Raw or op == Op.Constant:
+                continue
+            args = term.operands
+            if op == Op.Input:
+                kinds[idx] = "c2" if self.types[term] == Type.Cipher else "pn"
+            elif op == Op.Encode:
+                kinds[idx] = "p"
+            elif op in (Op.RotateLeftConst, Op.RotateRightConst):
+                fin(args[0].index)
+                steps = term.get_attr(ROTATION)
+                kinds[idx] = ("rs" if self._rotsum_on and steps % period != 0
+                              else "c2")
+            elif op == Op.Negate:
+                kinds[idx] = kinds.get(args[0].index, "c2")  # rs stays rs
+            elif op in (Op.Add, Op.Sub):
+                ka = kinds.get(args[0].index, "c2")
+                kb = kinds.get(args[1].index, "c2")
+                if "rs" in (ka, kb):
+                    other = kb if ka == "rs" else ka
+                    if other in ("rs", "p", "pn", "c2"):
+                        kinds[idx] = "rs"
+                        continue
+                    ka = fin(args[0].index)
+                    kb = fin(args[1].index)
+                kinds[idx] = "c3" if "c3" in (ka, kb) else (
+                    "c2" if "c2" in (ka, kb) else "p")
+            elif op == Op.Mul:
+                ka = kinds.get(args[0].index, "c2")
+                kb = kinds.get(args[1].index, "c2")
+                if "rs" in (ka, kb):
+                    other_t = args[1] if ka == "rs" else args[0]
+                    other_k = kb if ka == "rs" else ka
+                    if (defer_mul and other_k == "p"
+                            and other_t.op == Op.Encode):
+                        marked.add(other_t.index)
+                        kinds[idx] = "rs"
+                        continue
+                    ka = fin(args[0].index)
+                    kb = fin(args[1].index)
+                if ka in ("p", "pn") or kb in ("p", "pn"):
+                    kinds[idx] = ka if kb in ("p", "pn") else kb
+                    if kinds[idx] in ("p", "pn"):  # plain*plain (raw-ish)
+                        kinds[idx] = "p"
+                else:
+                    kinds[idx] = "c3"
+            elif op == Op.Relinearize:
+                fin(args[0].index)
+                kinds[idx] = "c2"
+            elif op == Op.ModSwitch:
+                k0 = fin(args[0].index)
+                kinds[idx] = "pn" if k0 in ("p", "pn") else k0
+            elif op == Op.Rescale:
+                kinds[idx] = fin(args[0].index)
+            elif op == Op.Output:
+                kinds[idx] = fin(args[0].index)
+        return marked, fin_events[0]
+
     # -- execution -----------------------------------------------------------
 
     def run(self, inputs: Dict) -> Dict:
@@ -316,7 +427,10 @@ class Executor:
                 p = self.plan[term.index]
                 raw = np.asarray(raw_vals[term.operands[0].index],
                                  dtype=np.float64)
-                pt = K.encode(ctx, raw, p.scale, p.level)
+                pt = K.encode(ctx, raw, p.scale, p.level,
+                              ext_primes=(ctx.key_primes
+                                          if term.index in self._ext_encodes
+                                          else None))
                 host_values[term.index] = pt
                 if self._is_input_free(term):
                     self._encode_cache[term.index] = pt
@@ -357,35 +471,86 @@ class Executor:
             values[idx] = f
         return f
 
-    def _rotsum_add(self, a, b):
-        """Merge/fold for Add when at least one operand is a RotSum;
+    def _rotsum_add(self, a, b, sub: bool = False):
+        """Merge/fold for Add/Sub when at least one operand is a RotSum;
         None when the combination can't stay deferred (mirrors the jax
-        backend's _rotsum_add exactly)."""
+        backend's _rotsum_add exactly). Sub merging is sound for the
+        same reason Add merging is: modular subs distribute over the
+        accumulators, and round(-x/P) = -round(x/P) exactly (the
+        centered divide-and-round is odd; odd primes, no ties)."""
         ctx = self.ctx
         if isinstance(a, RotSum) and isinstance(b, RotSum):
             if a.level != b.level:  # pragma: no cover - checker prevents
                 return None
             primes = ctx.primes_at_level(a.level)
             basis = primes + ctx.key_primes
-            c1 = (a.c1 if b.c1 is None else b.c1 if a.c1 is None
-                  else ctx.add(a.c1, b.c1, primes))
+            f = ctx.sub if sub else ctx.add
+            if b.c1 is None:
+                c1 = a.c1
+            elif a.c1 is None:
+                c1 = ctx.neg(b.c1, primes) if sub else b.c1
+            else:
+                c1 = f(a.c1, b.c1, primes)
             return RotSum(a.level, a.scale,
-                          ctx.add(a.c0, b.c0, primes), c1,
-                          ctx.add(a.acc0, b.acc0, basis),
-                          ctx.add(a.acc1, b.acc1, basis))
+                          f(a.c0, b.c0, primes), c1,
+                          f(a.acc0, b.acc0, basis),
+                          f(a.acc1, b.acc1, basis))
         if isinstance(b, RotSum):
+            # a (+|-) rs: for Sub, negate every rs component and add.
+            primes = ctx.primes_at_level(b.level)
+            basis = primes + ctx.key_primes
+            if sub:
+                b = RotSum(b.level, b.scale, ctx.neg(b.c0, primes),
+                           None if b.c1 is None else ctx.neg(b.c1, primes),
+                           ctx.neg(b.acc0, basis), ctx.neg(b.acc1, basis))
             a, b = b, a
+            sub = False
         primes = ctx.primes_at_level(a.level)
+        f = ctx.sub if sub else ctx.add
         if isinstance(b, Plaintext):
-            return RotSum(a.level, a.scale, ctx.add(a.c0, b.poly, primes),
+            return RotSum(a.level, a.scale, f(a.c0, b.poly, primes),
                           a.c1, a.acc0, a.acc1)
         if isinstance(b, Ciphertext) and b.size == 2:
-            c1 = (b.polys[1] if a.c1 is None
-                  else ctx.add(a.c1, b.polys[1], primes))
+            if b.polys[1] is None:  # pragma: no cover - defensive
+                return None
+            if a.c1 is None:
+                c1 = ctx.neg(b.polys[1], primes) if sub else b.polys[1]
+            else:
+                c1 = f(a.c1, b.polys[1], primes)
             return RotSum(a.level, a.scale,
-                          ctx.add(a.c0, b.polys[0], primes), c1,
+                          f(a.c0, b.polys[0], primes), c1,
                           a.acc0, a.acc1)
         return None  # size-3 ciphertext: finalize and add normally
+
+    def _rotsum_mul(self, a: RotSum, p: Plaintext):
+        """Baby-step fusion: multiply a deferred rotation sum by a
+        plaintext carrying extended-basis planes (Plaintext.ext). The
+        multiply distributes over the pre-division accumulators — the
+        product's single P-division rounding replaces the eager form's
+        per-rotation roundings SCALED by the plaintext, so the fused
+        value is (slightly) LESS noisy. Requires p.ext (key-prime NTT
+        planes of the same integer coefficients; see crypto.keys.encode).
+        Anchor: reference examples/image_processing.py:36-58 — conv taps
+        are exactly rot(x, s)*w sums."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(a.level)
+        basis = primes + ctx.key_primes
+        full = np.concatenate([p.poly, p.ext], axis=-2)
+        return RotSum(a.level, a.scale * p.scale,
+                      ctx.mul(a.c0, p.poly, primes),
+                      None if a.c1 is None else ctx.mul(a.c1, p.poly, primes),
+                      ctx.mul(a.acc0, full, basis),
+                      ctx.mul(a.acc1, full, basis))
+
+    def _rotsum_neg(self, a: RotSum) -> RotSum:
+        """Negate a deferred rotation sum in place of finalizing it —
+        EXACTLY equal to negate-after-finalize (odd centered rounding)."""
+        ctx = self.ctx
+        primes = ctx.primes_at_level(a.level)
+        basis = primes + ctx.key_primes
+        return RotSum(a.level, a.scale, ctx.neg(a.c0, primes),
+                      None if a.c1 is None else ctx.neg(a.c1, primes),
+                      ctx.neg(a.acc0, basis), ctx.neg(a.acc1, basis))
 
     def _run_numpy(self, inputs: Dict) -> Dict:
         values: Dict[int, object] = {}
@@ -456,7 +621,10 @@ class Executor:
                     continue
                 p = self.plan[term.index]
                 raw = np.asarray(values[args[0].index], dtype=np.float64)
-                values[term.index] = K.encode(ctx, raw, p.scale, p.level)
+                values[term.index] = K.encode(
+                    ctx, raw, p.scale, p.level,
+                    ext_primes=(ctx.key_primes
+                                if term.index in self._ext_encodes else None))
                 if self._is_input_free(term):
                     self._encode_cache[term.index] = values[term.index]
                 consume(term)
@@ -464,8 +632,12 @@ class Executor:
             if op in (Op.Add, Op.Sub, Op.Mul):
                 values[term.index] = self._binop(term, values)
             elif op == Op.Negate:
-                values[term.index] = O.negate(
-                    ctx, self._fin_at(values, args[0].index))
+                v = values[args[0].index]
+                if isinstance(v, RotSum):
+                    values[term.index] = self._rotsum_neg(v)
+                else:
+                    values[term.index] = O.negate(
+                        ctx, self._fin_at(values, args[0].index))
             elif op in (Op.RotateLeftConst, Op.RotateRightConst):
                 steps = term.get_attr(ROTATION)
                 if op == Op.RotateRightConst:
@@ -533,10 +705,16 @@ class Executor:
         b = values[term.operands[1].index]
         op = term.op
         if isinstance(a, RotSum) or isinstance(b, RotSum):
-            if op == Op.Add:
-                merged = self._rotsum_add(a, b)
+            if op in (Op.Add, Op.Sub):
+                merged = self._rotsum_add(a, b, sub=(op == Op.Sub))
                 if merged is not None:
                     return merged
+            elif op == Op.Mul:
+                rs, other = (a, b) if isinstance(a, RotSum) else (b, a)
+                if (not isinstance(other, RotSum)
+                        and isinstance(other, Plaintext)
+                        and other.ext is not None):
+                    return self._rotsum_mul(rs, other)
             a = self._fin_at(values, term.operands[0].index)
             b = self._fin_at(values, term.operands[1].index)
         a_ct, b_ct = isinstance(a, Ciphertext), isinstance(b, Ciphertext)

@@ -315,7 +315,11 @@ class TestBSGSRotations:
         prog.set_output_ranges(20)
         return prog
 
-    def test_grid_rotations_factor(self):
+    def test_small_grid_stays_direct(self):
+        """3x3 convolutions stay DIRECT under the execution-cost model:
+        one hoisted decomposition + 8 MACs + a fused epilogue beats the
+        4 extra decompositions and per-giant epilogues BSGS would pay
+        (passes.py BSGSRotationFactorizer cost constants)."""
         import random
         from eva_tpu import evaluate
         from eva_tpu.ckks import CKKSCompiler
@@ -328,7 +332,28 @@ class TestBSGSRotations:
         ref = evaluate(prog, inputs)
         compiled, params, _ = CKKSCompiler(
             {"warn_vec_size": "false"}).compile(prog)
-        assert sorted(params.rotations) == [1, 2, 8, 16]
+        assert sorted(params.rotations) == [1, 2, 8, 9, 10, 16, 17, 18]
+        assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
+
+    def test_wide_grid_rotations_factor(self):
+        """An 8x8 rotation grid still factors. The model prefers WIDE
+        baby strides (babies share one decomposition; every giant pays
+        its own): stride 16 gives 15 babies + 3 giants (cost 34.5) over
+        stride 8's 7+7 (48.5) or 63 direct MACs (66)."""
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        random.seed(12)
+        taps = [g + b for g in range(0, 64, 8) for b in range(8)]
+        weights = [0.05 * (i % 7) - 0.15 for i in range(64)]
+        prog = self._conv_program(taps, weights)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(64)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert sorted(params.rotations) == (
+            list(range(1, 16)) + [16, 32, 48])
         assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
 
     def test_opt_out_keeps_all_rotations(self):
@@ -354,15 +379,25 @@ class TestBSGSRotations:
         ref = evaluate(prog, inputs)
         compiled, params, _ = CKKSCompiler(
             {"warn_vec_size": "false"}).compile(prog)
-        assert len(params.rotations) <= 4
+        # 5 distinct normalized rotations; the execution-cost model keeps
+        # this small set direct (one shared decomposition).
+        assert len(params.rotations) <= 5
         assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
 
     def test_he_roundtrip_with_bsgs(self):
+        # 6x6 grid: wide enough that the execution-cost model still
+        # factors (stride 16: 11 babies + 2 giants, cost 25, beats 35
+        # direct MACs), so the HE round-trip exercises BSGS end to end.
         import random
         from helpers import compile_and_check
+        from eva_tpu.ckks import CKKSCompiler
         random.seed(7)
-        taps = [g + b for g in (0, 8, 16, 24) for b in (0, 1, 2, 3)]
-        weights = [0.1 * (i % 5) - 0.2 for i in range(16)]
+        taps = [g + b for g in range(0, 48, 8) for b in range(6)]
+        weights = [0.1 * (i % 5) - 0.2 for i in range(36)]
+        prog = self._conv_program(taps, weights)
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert len(params.rotations) == 13  # 11 babies + 2 giants
         compile_and_check(self._conv_program(taps, weights))
 
 

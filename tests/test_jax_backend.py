@@ -471,6 +471,14 @@ class TestRotationSumFusion:
                                  + ((x * 1.5 + 1) << 2)) + ((x * 0.5) << 3),
             "rot_of_sum": lambda x: ((x << 1) + (x << 2)) << 3,
             "mixed_sub": lambda x: ((x << 1) + (x << 2)) - (x << 3),
+            # Baby-step (rot*const) fusion shapes: the multiplies stay in
+            # deferred pre-division form (extended-basis plaintexts).
+            "babystep": lambda x: ((x << 1) * 2.0 + (x << 2) * (-0.5)
+                                   + (x << 3) * 1.25),
+            "conv_square": lambda x: ((x << 1) * 2.0 + (x << 2) * 3.0)
+                                     * ((x << 1) * 0.5 + (x << 3) * 1.5),
+            "babystep_sub": lambda x: (x << 1) * 2.0 - (x << 2) * 0.5 - x,
+            "neg_defer": lambda x: -((x << 1) * 2.0) + (x << 2),
         }
         for name, f in cases.items():
             prog, compiled, params, sig = self._compile(name, f)
@@ -491,13 +499,16 @@ class TestRotationSumFusion:
             assert mse < 0.01, (name, mse)
 
     def test_lone_rotation_bit_matches_eager(self, monkeypatch):
-        """Deferral is cost- and bit-neutral for a single rotation: the
-        fused and EVA_TPU_NO_ROTSUM_FUSION forms agree exactly."""
+        """Deferral is cost- and bit-neutral for a single un-multiplied
+        rotation: the fused and EVA_TPU_NO_ROTSUM_FUSION forms agree
+        exactly. (A multiplied rotation is covered separately — the
+        baby-step deferred multiply legitimately differs from eager by
+        one division rounding.)"""
         import random
         from eva_tpu.runtime import generate_keys, EVAPublic
         random.seed(7)
         prog, compiled, params, sig = self._compile(
-            "lone", lambda x: (x << 1) * 2.0 + 1)
+            "lone", lambda x: (x << 1) + x * 2.0 + 1)
         inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
         pub, sec = generate_keys(params, backend="jax")
         enc = pub.encrypt(inputs, sig)
@@ -509,3 +520,55 @@ class TestRotationSumFusion:
             for a, b in zip(out_f[k].polys, out_e[k].polys):
                 assert np.array_equal(np.asarray(a).astype(np.uint64),
                                       np.asarray(b).astype(np.uint64))
+
+    def test_babystep_optout_matches_eager_multiply(self, monkeypatch):
+        """EVA_TPU_NO_ROTMUL_FUSION restores the round-4 behavior
+        (finalize at every rot*const multiply) while keeping Add-merge
+        fusion; the two forms must agree to within division-rounding
+        noise, and the opt-out jax/numpy pair must stay bit-identical."""
+        import random
+        from eva_tpu.runtime import generate_keys, EVAPublic
+        random.seed(9)
+        prog, compiled, params, sig = self._compile(
+            "bs_opt", lambda x: ((x << 1) * 2.0 + (x << 2) * (-1.5)
+                                 + (x << 3) * 0.5 + 1))
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(16)]}
+        pub, sec = generate_keys(params, backend="jax")
+        enc = pub.encrypt(inputs, sig)
+        out_f = sec.decrypt(pub.execute(compiled, enc), sig)
+        monkeypatch.setenv("EVA_TPU_NO_ROTMUL_FUSION", "1")
+        pub_j = EVAPublic(pub.ctx, pub._keys, params, backend="jax")
+        out_j = pub_j.execute(compiled, enc)
+        pub_n = EVAPublic(pub.ctx, pub._keys, params, backend="numpy")
+        out_n = pub_n.execute(compiled, enc)
+        for k in out_j:
+            for a, b in zip(out_j[k].polys, out_n[k].polys):
+                assert np.array_equal(np.asarray(a).astype(np.uint64),
+                                      np.asarray(b).astype(np.uint64))
+        from eva_tpu.metric import valuation_mse
+        assert valuation_mse(out_f, sec.decrypt(out_j, sig)) < 1e-6
+
+    def test_babystep_marks_only_rotsum_encodes(self):
+        """The static marker attaches extended-basis planes exactly to
+        the encodes a deferred rotation sum is multiplied by."""
+        from eva_tpu.ir import Op
+        from eva_tpu.runtime import generate_keys, EVAPublic
+        prog, compiled, params, sig = self._compile(
+            "mark", lambda x: ((x << 1) * 2.0 + (x << 2) * 0.5
+                               + x * 3.0))
+        pub, sec = generate_keys(params, backend="numpy")
+        from eva_tpu.runtime.executor import Executor
+        ex = Executor(compiled, pub.ctx, pub._keys, backend="numpy")
+        marked = {t for t in compiled.topological_order()
+                  if t.index in ex._ext_encodes}
+        assert all(t.op == Op.Encode for t in marked)
+        # the tap encodes (multiplied into rotation sums) are marked; the
+        # 3.0 encode multiplies the un-rotated ciphertext and is not
+        assert len(marked) >= 2
+        n_enc = sum(1 for t in compiled.topological_order()
+                    if t.op == Op.Encode)
+        assert len(marked) < n_enc
+        # profitability: deferral must strictly reduce epilogue count
+        _, fa = ex._simulate_rotsum(defer_mul=True)
+        _, fb = ex._simulate_rotsum(defer_mul=False)
+        assert fa < fb

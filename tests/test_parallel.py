@@ -212,6 +212,55 @@ class TestDigitParallelProgram:
         assert mse < 0.01
 
 
+class TestRotMulFusionOnMesh:
+    def test_babystep_fusion_bit_identical_on_meshes(self):
+        """Baby-step (rot*const) fusion with extended-basis plaintexts
+        executes bit-identically on limb- and seq-sharded meshes: the
+        deferred accumulator multiply is elementwise (shard-local on a
+        seq axis, replicated across a limb axis after the modular
+        all-reduce)."""
+        import random
+        random.seed(93)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.runtime.executor import Executor
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("bsmesh", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", ((x << 1) * 2.0 + (x << 2) * (-0.5)
+                         + (x << 3) * 1.25))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        ex = Executor(compiled, pub.ctx, pub._keys, backend="jax")
+        assert ex._ext_encodes, "deferral must be profitable here"
+
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(4)]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+        n = params.poly_modulus_degree
+        meshes = [make_device_mesh(8, limb_axis=4)]
+        from eva_tpu.parallel import seq_compatible
+        if seq_compatible(n, 4):
+            meshes.append(make_device_mesh(8, seq_axis=4))
+        for mesh in meshes:
+            outs = pub.execute_batch(compiled, encs, mesh=mesh)
+            for a, b in zip(singles, outs):
+                for name in a:
+                    for ca, cb in zip(a[name].polys, b[name].polys):
+                        assert np.array_equal(
+                            np.asarray(ca), np.asarray(cb)), dict(mesh.shape)
+        mse = valuation_mse(sec.decrypt(singles[0], sig),
+                            evaluate(prog, batch_inputs[0]))
+        assert mse < 0.01
+
+
 class TestShardedNTT:
     def test_sharded_n_ntt_bit_exact_n16384(self):
         """Single-polynomial NTT with N sharded over 8 devices: one
