@@ -11,11 +11,23 @@ throughput at N=16384 L=6 (the BASELINE.json >=10x target); the
   sobel_ms / sobel_host_ms                  Sobel 90x90 end-to-end execute
                                             (reference workload:
                                             examples/image_processing.py)
+  harris_ms / harris_host_ms                Harris 90x90 corner response
+                                            (reference workload, deeper
+                                            depth + 5 convolutions:
+                                            examples/image_processing.py:65-100)
+  sobel90_batched / with_io / host          all median-of-PASSES with
+                                            samples+spread (no single-shot
+                                            numbers in the artifact)
   kernel_sol                                per-kernel us + % of measured
-                                            HBM speed-of-light (NTT, iNTT,
-                                            key-switch stage split, ct-mul,
-                                            rotation) — BASELINE.md's
-                                            per-kernel roofline requirement
+                                            HBM speed-of-light AND % of
+                                            measured VPU modular-multiply
+                                            speed-of-light (NTT, iNTT,
+                                            key-switch stage split incl.
+                                            MAC/epilogue, rotation) —
+                                            BASELINE.md's per-kernel
+                                            roofline requirement
+  sobel_compile_cold_s / _warm_s            whole-graph XLA compile cost
+                                            with the persistent cache off/on
 
 Methodology: the device runtime dispatches asynchronously and
 block_until_ready may return before queued work completes (observed on
@@ -52,7 +64,7 @@ PASSES = 3  # interleaved measurement rounds per device metric
 # the probe dies; (b) a watchdog thread hard-exits with a JSON line
 # built from partial results if any later device call hangs.
 PROBE_TIMEOUT_S = 120
-WATCHDOG_S = 3300
+WATCHDOG_S = 3900  # harris + kernel + compile sections on a cold cache
 _RESULTS: dict = {}
 
 
@@ -77,7 +89,11 @@ def _emit(note: str = "") -> None:
     extras["ct_mul_per_sec"] = round(ct_mul, 2)
     for key, scale, unit in (("ct_mul", 1.0, "per_sec"),
                              ("rotation", 1e6, "us"),
-                             ("sobel90", 1e3, "ms")):
+                             ("sobel90", 1e3, "ms"),
+                             ("harris", 1e3, "ms"),
+                             ("sobel90_batched", 1.0, "evals_per_sec"),
+                             ("sobel90_with_io", 1e3, "ms"),
+                             ("sobel90_host", 1e3, "ms")):
         samples = _RESULTS.get(f"{key}_samples", [])
         if samples:
             extras[f"{key}_{unit}"] = round(_med(samples) * scale, 2)
@@ -302,64 +318,58 @@ def build_sobel(h=90, w=90):
     return prog
 
 
-def setup_sobel(on_tpu: bool):
-    """Compile the Sobel pipeline; returns (measure() -> compute_seconds,
-    once_extras) where once_extras carries the single-shot numbers
-    (with-IO latency, batched throughput, host baseline, MSE).
+def build_harris(h=90, w=90):
+    """The reference's second image workload
+    (examples/image_processing.py:65-100): Sobel gradients, three 3x3
+    box sums over their products, determinant/trace corner response.
+    Deeper depth and 5 convolutions over 4 distinct sources — exercises
+    multi-level key switches and the rotation-sum fusion the Sobel
+    number cannot."""
+    from eva_tpu import EvaProgram, Input, Output
 
-    compute_seconds times the jitted device graph with the SAME
-    chained-dispatch + single-fetch slope methodology as the other
-    metrics: on the tunnel, fetching the output ciphertext to host costs
-    ~50 ms of pure link latency (measured: the jitted graph runs in
-    ~4 ms; np.asarray of the outputs takes 54 ms), which is test-harness
-    I/O, not framework time — output fetch is the client-role decrypt
-    hand-off in the 4-role protocol and overlaps the next execution in
-    deployment. with_io keeps the fetch-inclusive number honest."""
-    from eva_tpu import evaluate
-    from eva_tpu.ckks import CKKSCompiler
-    from eva_tpu.metric import valuation_mse
-    from eva_tpu.runtime import generate_keys
+    prog = EvaProgram("harris", vec_size=2 ** (math.ceil(math.log2(h * w))))
+    with prog:
+        image = Input("image")
+        sobel_filter = [[-1, 0, 1], [-2, 0, 2], [-1, 0, 1]]
+        box = [[1, 1, 1], [1, 1, 1], [1, 1, 1]]
+        k = 0.04
 
-    prog = build_sobel()
-    compiled, params, sig = CKKSCompiler({"warn_vec_size": "false"}).compile(
-        prog)
-    rng = np.random.default_rng(11)
-    inputs = {"image": rng.uniform(0, 1, prog.vec_size).tolist()}
-    ref = evaluate(prog, inputs)
+        def conv(img, filt, also_transposed=False):
+            a = b = None
+            for i in range(3):
+                for j in range(3):
+                    rot = img << (i * w + j)
+                    hor = rot * filt[i][j]
+                    a = hor if a is None else a + hor
+                    if also_transposed:
+                        ver = rot * filt[j][i]
+                        b = ver if b is None else b + ver
+            return (a, b) if also_transposed else a
 
-    pub, sec = generate_keys(params, backend="jax")
-    enc = pub.encrypt(inputs, sig)
-    out = pub.execute(compiled, enc)  # compile + warm
-    reps = 3 if on_tpu else 1
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = pub.execute(compiled, enc)
-    io_s = (time.perf_counter() - t0) / reps
-    mse = valuation_mse(sec.decrypt(out, sig), ref)
+        Ix, Iy = conv(image, sobel_filter, also_transposed=True)
+        Sxx = conv(Ix * Ix, box)
+        Syy = conv(Iy * Iy, box)
+        Sxy = conv(Ix * Iy, box)
+        det = Sxx * Syy - Sxy * Sxy
+        trace = Sxx + Syy
+        Output("image", det - k * trace * trace)
+    prog.set_input_scales(30)
+    prog.set_output_ranges(20)
+    return prog
 
-    # Compute-only: chained dispatches of the jitted graph, one tiny
-    # device-side reduction fetched at the end, slope between two chain
-    # lengths (identical methodology to the ct-mul bench).
+
+def _compute_slope(jp, cipher_in, plain_in, on_tpu: bool):
+    """Chained dispatches of a compiled whole-graph executable with one
+    tiny device-side reduction fetched at the end; slope between two
+    chain lengths (the ct-mul methodology — tunnel fetch latency and
+    dispatch overhead subtract out)."""
     import jax.numpy as jnp
-    ex = pub._executors[id(compiled)]
-    hv, _ = ex._host_phase(enc)
-    jp = ex._jax_program
-    cipher_in, plain_in = {}, {}
-    from eva_tpu.backend.executor_jax import _to_u32
-    from eva_tpu.crypto.ciphertext import Ciphertext, Plaintext
-    for idx, v in hv.items():
-        if isinstance(v, Ciphertext):
-            cipher_in[f"t{idx}"] = jp._upload(
-                v, lambda ct: [jnp.asarray(_to_u32(c)) for c in ct.polys])
-        elif isinstance(v, Plaintext):
-            plain_in[f"t{idx}"] = jp._upload(
-                v, lambda pt: jnp.asarray(_to_u32(pt.poly)))
 
     def fetch(o):
-        return sum(float(jnp.sum(planes[0][0] >> 31))
+        return sum(float(jnp.sum(planes[0][..., 0, 0] >> 31))
                    for planes in o.values())
 
-    _ = fetch(jp._jitted(cipher_in, plain_in))
+    _ = fetch(jp._jitted(cipher_in, plain_in))  # compile + warm
 
     def chain_time(k):
         best = 1e9
@@ -376,13 +386,141 @@ def setup_sobel(on_tpu: bool):
     def measure() -> float:
         return (chain_time(k2) - chain_time(k1)) / (k2 - k1)
 
-    batch = 4
-    encs = [enc] * batch
-    pub.execute_batch(compiled, encs)  # compile + warm the batched form
+    return measure
+
+
+def _device_inputs(jp, hv):
+    """Split a host-phase valuation into the executor's device input
+    trees (the same upload path run() takes, including extended-basis
+    plaintext rows)."""
+    import jax.numpy as jnp
+    from eva_tpu.backend.executor_jax import _plain_np, _to_u32
+    from eva_tpu.crypto.ciphertext import Ciphertext, Plaintext
+
+    cipher_in, plain_in = {}, {}
+    for idx, v in hv.items():
+        if isinstance(v, Ciphertext):
+            cipher_in[f"t{idx}"] = jp._upload(
+                v, lambda ct: [jnp.asarray(_to_u32(c)) for c in ct.polys])
+        elif isinstance(v, Plaintext):
+            plain_in[f"t{idx}"] = jp._upload(
+                v, lambda pt: jnp.asarray(_plain_np(pt)))
+    return cipher_in, plain_in
+
+
+def setup_sobel(on_tpu: bool):
+    """Compile the Sobel pipeline; returns (measures, once_extras, env):
+    measures maps metric name -> per-pass callable (every driver number
+    gets the median-of-PASSES treatment — compute slope, batched compute
+    throughput, with-IO latency, host baseline), once_extras carries the
+    MSE and first-execute (trace+compile) seconds, env carries objects
+    the compile-cost section reuses.
+
+    Compute seconds time the jitted device graph with the chained-
+    dispatch + single-fetch slope methodology: on the tunnel, fetching
+    the output ciphertext to host costs ~50 ms of pure link latency,
+    which is test-harness I/O, not framework time — output fetch is the
+    client-role decrypt hand-off in the 4-role protocol and overlaps the
+    next execution in deployment. with_io keeps the fetch-inclusive
+    number honest; batched throughput is measured on the batched
+    executable the same compute-slope way."""
+    from eva_tpu import evaluate
+    from eva_tpu.ckks import CKKSCompiler
+    from eva_tpu.metric import valuation_mse
+    from eva_tpu.runtime import generate_keys
+
+    prog = build_sobel()
+    compiled, params, sig = CKKSCompiler({"warn_vec_size": "false"}).compile(
+        prog)
+    rng = np.random.default_rng(11)
+    inputs = {"image": rng.uniform(0, 1, prog.vec_size).tolist()}
+    ref = evaluate(prog, inputs)
+
+    pub, sec = generate_keys(params, backend="jax")
+    enc = pub.encrypt(inputs, sig)
     t0 = time.perf_counter()
-    for _ in range(reps):
-        pub.execute_batch(compiled, encs)
-    batched_eps = batch * reps / (time.perf_counter() - t0)
+    out = pub.execute(compiled, enc)  # trace + compile (+cache) + warm
+    first_exec_s = time.perf_counter() - t0
+    mse = valuation_mse(sec.decrypt(out, sig), ref)
+    reps = 3 if on_tpu else 1
+
+    def with_io() -> float:
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            pub.execute(compiled, enc)
+        return (time.perf_counter() - t0) / reps
+
+    ex = pub._executors[id(compiled)]
+    hv, _ = ex._host_phase(enc)
+    jp = ex._jax_program
+    cipher_in, plain_in = _device_inputs(jp, hv)
+    compute = _compute_slope(jp, cipher_in, plain_in, on_tpu)
+
+    # Batched compute throughput on the SAME whole-graph executable the
+    # serving path runs (leading batch axis; unbatched cached encodes),
+    # via the compute-slope methodology — round 4's single-shot
+    # execute_batch wall-clock was tunnel-I/O dominated and disagreed 2x
+    # between runs.
+    import jax.numpy as jnp
+    batch = 4
+    bat_cipher = {k: [jnp.asarray(np.broadcast_to(np.asarray(c),
+                                                  (batch,) + c.shape).copy())
+                      for c in v] for k, v in cipher_in.items()}
+    bat_compute = _compute_slope(jp, bat_cipher, plain_in, on_tpu)
+
+    def batched_eps() -> float:
+        return batch / bat_compute()
+
+    from eva_tpu.runtime import EVAPublic
+    pub_h = EVAPublic(pub.ctx, pub._keys, params, backend="numpy")
+
+    def host() -> float:
+        t0 = time.perf_counter()
+        pub_h.execute(compiled, enc)
+        return time.perf_counter() - t0
+
+    measures = {
+        "sobel90": compute,
+        "sobel90_batched": batched_eps,
+        "sobel90_with_io": with_io,
+        "sobel90_host": host,
+    }
+    once = {
+        "sobel90_mse": mse,
+        "sobel90_first_execute_s": round(first_exec_s, 2),
+    }
+    env = {"compiled": compiled, "params": params, "pub": pub, "enc": enc,
+           "ctx": pub.ctx, "keys": pub._keys}
+    return measures, once, env
+
+
+def setup_harris(on_tpu: bool):
+    """Compile the Harris pipeline (its own parameter set: deeper chain
+    than Sobel, so its own keys); returns (measures, once_extras)."""
+    from eva_tpu import evaluate
+    from eva_tpu.ckks import CKKSCompiler
+    from eva_tpu.metric import valuation_mse
+    from eva_tpu.runtime import generate_keys
+
+    prog = build_harris()
+    compiled, params, sig = CKKSCompiler({"warn_vec_size": "false"}).compile(
+        prog)
+    rng = np.random.default_rng(13)
+    inputs = {"image": rng.uniform(0, 1, prog.vec_size).tolist()}
+    ref = evaluate(prog, inputs)
+
+    pub, sec = generate_keys(params, backend="jax")
+    enc = pub.encrypt(inputs, sig)
+    t0 = time.perf_counter()
+    out = pub.execute(compiled, enc)
+    first_exec_s = time.perf_counter() - t0
+    mse = valuation_mse(sec.decrypt(out, sig), ref)
+
+    ex = pub._executors[id(compiled)]
+    hv, _ = ex._host_phase(enc)
+    jp = ex._jax_program
+    cipher_in, plain_in = _device_inputs(jp, hv)
+    compute = _compute_slope(jp, cipher_in, plain_in, on_tpu)
 
     from eva_tpu.runtime import EVAPublic
     pub_h = EVAPublic(pub.ctx, pub._keys, params, backend="numpy")
@@ -391,25 +529,72 @@ def setup_sobel(on_tpu: bool):
     host_s = time.perf_counter() - t0
 
     once = {
-        "sobel90_with_io_ms": round(io_s * 1e3, 1),
-        "sobel90_batched_evals_per_sec": round(batched_eps, 2),
-        "sobel90_host_ms": round(host_s * 1e3, 1),
-        "sobel90_mse": mse,
+        "harris_mse": mse,
+        "harris_first_execute_s": round(first_exec_s, 2),
+        "harris_host_ms": round(host_s * 1e3, 1),
+        "harris_N": params.poly_modulus_degree,
     }
-    return measure, once
+    return {"harris": compute}, once
+
+
+def measure_vpu_modmul(jax, jnp, dev, poly, on_tpu: bool) -> float:
+    """Achievable VPU modular-multiply throughput (modmuls/sec): the
+    compute-speed-of-light denominator. One dispatch runs a DEPENDENT
+    chain of K Montgomery multiplies per element inside one jit
+    (arithmetic intensity ~K muls per 8 bytes, so the VPU, not HBM,
+    bounds it; the chain alternates two constants and each step feeds
+    the next, so XLA can neither fold nor eliminate steps — modular
+    integer ops admit no algebraic simplification). Dispatch overhead
+    subtracts out via the usual two-length chain slope."""
+    K = 16
+    rows = poly.shape[-2]
+    c1 = jnp.asarray(np.full((rows, 1), 3, np.uint32))
+    c2 = jnp.asarray(np.full((rows, 1), 5, np.uint32))
+
+    @jax.jit
+    def burn(p):
+        for _ in range(K // 2):
+            p = dev.mul_mont(p, c1)
+            p = dev.mul_mont(p, c2)
+        return p
+
+    red = jax.jit(lambda v: jnp.sum(v >> 31))
+    _ = float(red(burn(poly)))
+
+    def chain_time(reps):
+        best = 1e9
+        for _ in range(2 if on_tpu else 1):
+            cur = poly
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                cur = burn(cur)
+            _ = float(red(cur))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    r1, r2 = (4, 24) if on_tpu else (1, 3)
+    per = max((chain_time(r2) - chain_time(r1)) / (r2 - r1), 1e-9)
+    n_elems = 1
+    for d in poly.shape:
+        n_elems *= d
+    return n_elems * K / per
 
 
 def setup_kernel_sol(ctx, keys, on_tpu: bool):
     """Per-kernel speed-of-light section (BASELINE.md requirement).
 
     Compiles the hot kernels (forward/inverse NTT; the key-switch stage
-    split: digit decomposition = iNTT+FBE+digit-NTTs, then MAC+epilogue
-    = KSK MACs + iNTT + P-division + output NTT) and the HBM roofline
-    probe; returns measure() -> dict of
-      {kernel: {us, gbs, sol_pct}} + {"hbm_gbs": ...}.
-    Bytes models follow eva_tpu/profiling.py: an NTT reads+writes its
-    planes once (Pallas, VMEM-resident); the key-switch additionally
-    streams the key planes once per digit group."""
+    split: digit decomposition = iNTT+FBE+digit-NTTs, the two-polynomial
+    P-division epilogue, and the full switch) plus the HBM and VPU
+    roofline probes; returns measure() -> dict of
+      {kernel: {us, gbs, sol_pct, compute_pct}} + probe ceilings.
+    Bytes models follow eva_tpu/profiling.py; modmul counts are the
+    statically-known Shoup/Montgomery multiplies per element of each
+    kernel (butterflies: log2(N)/2 per element per transform row; FBE:
+    alpha*n_ext per digit group row; MACs: one per key row), so
+    compute_pct = modmuls / elapsed / measured-VPU-modmul-rate. A
+    kernel near 100% compute_pct is compute-bound: its low HBM sol_pct
+    is not headroom."""
     import jax
     import jax.numpy as jnp
     from eva_tpu.backend.executor_jax import (JaxProgram, device_keys,
@@ -418,30 +603,46 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
     level = 0
     primes = ctx.primes_at_level(level)
     n_cur = len(primes)
+    n_key = len(ctx.key_primes)
     dev = level_ops(primes, N)
     batch = 8 if on_tpu else 2
     poly = jnp.asarray(_planes(primes, N, batch, 3))
     plane_bytes = batch * n_cur * N * 4
+    lg = int(math.log2(N))
 
     shim = JaxProgram.__new__(JaxProgram)
     shim.ctx, shim.keys, shim.k = ctx, keys, 1
     shim.dkeys = device_keys(ctx, keys)
 
-    n_ext = n_cur + len(ctx.key_primes)
-    n_groups = -(-n_cur // keys.ks_alpha)
+    n_ext = n_cur + n_key
+    alpha = keys.ks_alpha
+    n_groups = -(-n_cur // alpha)
     key_bytes = 2 * n_groups * n_ext * N * 4
     # digit stage: read n_cur planes, write n_groups*n_ext digit planes
     digit_bytes = batch * (n_cur + n_groups * n_ext) * N * 4
     # MAC+epilogue: read digit planes + keys once, write 2 output polys
     mac_bytes = batch * (n_groups * n_ext + 2 * n_cur) * N * 4 + key_bytes
     rot_bytes = batch * 4 * n_cur * N * 4 + key_bytes
+    epi_bytes = batch * 2 * (n_ext + n_cur) * N * 4
+
+    # Statically-known modmuls per ring element (xN xbatch), per kernel.
+    ntt_muls = n_cur * (lg / 2)
+    intt_muls = n_cur * (lg / 2 + 1)  # + merged n^-1 twist row
+    digit_muls = (intt_muls + n_cur  # input iNTT + y = d*inv
+                  + n_groups * alpha * n_ext  # FBE products
+                  + ((n_groups - 1) * n_cur + n_groups * n_key) * (lg / 2))
+    mac_muls = 2 * (n_cur + (n_groups - 1) * n_cur + n_groups * n_key)
+    epi_muls = 2 * (n_ext * (lg / 2 + 1)  # iNTT in the extended basis
+                    + n_key * n_cur  # divide-and-round chain
+                    + n_cur * (lg / 2))  # output NTT
+    full_muls = digit_muls + mac_muls + epi_muls
 
     g = ctx.galois_elt(1)
     layout = shim.dkeys.layout(keys.galois[g], level)
 
     steps = {
-        "ntt_fwd": (jax.jit(dev.ntt), 2 * plane_bytes),
-        "intt": (jax.jit(dev.intt), 2 * plane_bytes),
+        "ntt_fwd": (jax.jit(dev.ntt), 2 * plane_bytes, ntt_muls, None),
+        "intt": (jax.jit(dev.intt), 2 * plane_bytes, intt_muls, None),
     }
 
     @jax.jit
@@ -462,18 +663,35 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
         d0, d1 = shim._ks_apply(d, level, layout)
         return dev.add(d0, d1)
 
-    steps["ks_digits(intt+fbe+ntt)"] = (digits_step, digit_bytes)
-    steps["ks_full(digits+mac+pdiv)"] = (apply_step, digit_bytes + mac_bytes)
+    # Two-polynomial P-division epilogue, chained on an extended-basis
+    # accumulator block (the first n_cur rows of the next input are the
+    # epilogue outputs, keeping the chain dependent; key rows pass
+    # through).
+    ext_basis = primes + list(ctx.key_primes)
+    acc0 = jnp.asarray(_planes(ext_basis, N, batch, 5))
+
+    @jax.jit
+    def epi_step(a):
+        d0, d1 = shim._ks_div2(a, a, level)
+        return jnp.concatenate([dev.add(d0, d1), a[..., n_cur:, :]],
+                               axis=-2)
+
+    steps["ks_digits(intt+fbe+ntt)"] = (digits_step, digit_bytes,
+                                        digit_muls, None)
+    steps["ks_epilogue(2xPdiv)"] = (epi_step, epi_bytes, epi_muls, acc0)
+    steps["ks_full(digits+mac+pdiv)"] = (apply_step,
+                                         digit_bytes + mac_bytes,
+                                         full_muls, None)
 
     from eva_tpu.profiling import measure_hbm_roofline
 
     red = jax.jit(lambda v: jnp.sum(v >> 31))
 
-    def slope(fn) -> float:
+    def slope(fn, start) -> float:
         def chain_time(reps):
             best = 1e9
             for _ in range(2 if on_tpu else 1):
-                cur = poly
+                cur = start
                 t0 = time.perf_counter()
                 for _ in range(reps):
                     cur = fn(cur)
@@ -488,17 +706,32 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
         watchdog still captures whatever kernels landed."""
         hbm = measure_hbm_roofline(jax, jnp)
         out["hbm_gbs"] = round(hbm / 1e9, 1)
-        for name, (fn, nbytes) in steps.items():
-            _ = float(red(fn(poly)))  # compile
-            per = slope(fn)
+        vpu = measure_vpu_modmul(jax, jnp, dev, poly, on_tpu)
+        out["vpu_modmul_gops"] = round(vpu / 1e9, 1)
+        for name, (fn, nbytes, muls, start) in steps.items():
+            start = poly if start is None else start
+            _ = float(red(fn(start)))  # compile
+            per = slope(fn, start)
             out[name] = {"us": round(per / batch * 1e6, 1),
                          "gbs": round(nbytes / per / 1e9, 1),
-                         "sol_pct": round(100 * nbytes / per / hbm, 1)}
+                         "sol_pct": round(100 * nbytes / per / hbm, 1),
+                         "compute_pct": round(
+                             100 * muls * batch * N / per / vpu, 1)}
             print(f"bench: kernel {name}: {out[name]}", file=sys.stderr)
-        # stage split by subtraction: MAC+epilogue = full KS - digits
+        # stage split by subtraction: MAC = full KS - digits - epilogue
         dig = out["ks_digits(intt+fbe+ntt)"]["us"]
+        epi = out["ks_epilogue(2xPdiv)"]["us"]
         full = out["ks_full(digits+mac+pdiv)"]["us"]
         out["ks_mac_epilogue_us"] = round(max(full - dig, 0.0), 1)
+        mac = max(full - dig - epi, 0.0)
+        out["ks_mac_only_us"] = round(mac, 1)
+        if mac > 0:
+            # Measured decomposition : MAC : epilogue ratios — the
+            # BSGSRotationFactorizer cost-model constants
+            # (passes.py DEC_COST/MAC_COST/EPI_COST) chain to these.
+            out["bsgs_cost_units"] = {
+                "dec": round(dig / mac, 2), "mac": 1.0,
+                "epi": round(epi / mac, 2)}
         # rotation SoL from the already-measured rotation median (same
         # jitted fn the rotation metric timed; no extra compile).
         rot_s = _med(_RESULTS.get("rotation_samples", []))
@@ -507,10 +740,41 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
             out["rotation"] = {
                 "us": round(rot_s * 1e6, 1),
                 "gbs": round(per_op_bytes / rot_s / 1e9, 1),
-                "sol_pct": round(100 * per_op_bytes / rot_s / hbm, 1)}
+                "sol_pct": round(100 * per_op_bytes / rot_s / hbm, 1),
+                "compute_pct": round(
+                    100 * full_muls * N / rot_s / vpu, 1)}
         return out
 
     return measure
+
+
+def measure_compile_cost(env) -> dict:
+    """Cold/warm whole-graph compile seconds for the Sobel executable
+    (VERDICT: compile time is a product metric for a compiler
+    framework). Cold: persistent XLA cache disabled, fresh executor ->
+    full retrace + XLA compile. Warm: cache re-enabled, fresh executor
+    -> retrace + persistent-cache deserialize. Both include the host
+    phase and one execution (~tens of ms, noise at this scale)."""
+    import jax
+    from eva_tpu.runtime import EVAPublic
+
+    compiled, params, enc = env["compiled"], env["params"], env["enc"]
+    ctx, keys = env["ctx"], env["keys"]
+    out = {}
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        jax.config.update("jax_compilation_cache_dir", None)
+        pub_cold = EVAPublic(ctx, keys, params, backend="jax")
+        t0 = time.perf_counter()
+        pub_cold.execute(compiled, enc)
+        out["sobel_compile_cold_s"] = round(time.perf_counter() - t0, 1)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)
+    pub_warm = EVAPublic(ctx, keys, params, backend="jax")
+    t0 = time.perf_counter()
+    pub_warm.execute(compiled, enc)
+    out["sobel_compile_warm_s"] = round(time.perf_counter() - t0, 1)
+    return out
 
 
 def main() -> None:
@@ -557,15 +821,25 @@ def main() -> None:
     print(f"bench: rotation host {rot_host*1e3:.1f} ms", file=sys.stderr)
     extras["rotation_host_us"] = round(rot_host * 1e6, 1)
 
-    measures["sobel90"], sobel_once = setup_sobel(on_tpu)
+    sobel_measures, sobel_once, sobel_env = setup_sobel(on_tpu)
     extras.update(sobel_once)
-    s0 = measures["sobel90"]()
-    _RESULTS.setdefault("sobel90_samples", []).append(s0)
-    print(f"bench: sobel {s0*1e3:.1f} ms compute (pass 1; "
-          f"{sobel_once['sobel90_with_io_ms']} ms with tunnel IO, batched "
-          f"{sobel_once['sobel90_batched_evals_per_sec']} evals/s, host "
-          f"{sobel_once['sobel90_host_ms']} ms, "
-          f"mse {sobel_once['sobel90_mse']:.2e})", file=sys.stderr)
+    measures.update(sobel_measures)
+    for name, fn in sobel_measures.items():
+        v = fn()
+        _RESULTS.setdefault(f"{name}_samples", []).append(v)
+        print(f"bench: {name} pass 1: {v:.6g}", file=sys.stderr)
+    print(f"bench: sobel mse {sobel_once['sobel90_mse']:.2e}, first "
+          f"execute {sobel_once['sobel90_first_execute_s']} s",
+          file=sys.stderr)
+
+    harris_measures, harris_once = setup_harris(on_tpu)
+    extras.update(harris_once)
+    measures.update(harris_measures)
+    h0 = harris_measures["harris"]()
+    _RESULTS.setdefault("harris_samples", []).append(h0)
+    print(f"bench: harris {h0*1e3:.1f} ms compute (pass 1; host "
+          f"{harris_once['harris_host_ms']} ms, "
+          f"mse {harris_once['harris_mse']:.2e})", file=sys.stderr)
 
     # Passes 2..PASSES: interleave the device metrics so tunnel drift
     # lands on all of them equally; medians emitted at the end. This runs
@@ -580,13 +854,21 @@ def main() -> None:
     extras["rotation_vs_host"] = round(
         rot_host / _med(_RESULTS["rotation_samples"]), 2)
     extras["sobel90_vs_host"] = round(
-        sobel_once["sobel90_host_ms"] / 1e3
+        _med(_RESULTS["sobel90_host_samples"])
         / _med(_RESULTS["sobel90_samples"]), 2)
+    extras["harris_vs_host"] = round(
+        harris_once["harris_host_ms"] / 1e3
+        / _med(_RESULTS["harris_samples"]), 2)
 
     # Per-kernel speed-of-light section, incremental (watchdog-safe).
     sol = extras.setdefault("kernel_sol", {})
     setup_kernel_sol(ctx, keys, on_tpu)(sol)
     print(f"bench: kernel SoL {json.dumps(sol)}", file=sys.stderr)
+
+    # Whole-graph compile cost (cold vs persistent-cache warm).
+    extras.update(measure_compile_cost(sobel_env))
+    print(f"bench: compile cold {extras['sobel_compile_cold_s']} s, "
+          f"warm {extras['sobel_compile_warm_s']} s", file=sys.stderr)
 
     _emit()
 

@@ -72,6 +72,32 @@ def _to_u32(arr: np.ndarray) -> np.ndarray:
     return arr.astype(np.uint32)
 
 
+def divide_last_planes(coeffs, primes: List[int], dev: "DeviceLevelOps"):
+    """Divide-and-round coefficient planes by the last prime.
+
+    r_i = (x_i - centered([x]_p)) / p  mod q_i, computed as
+    mont_mul(x_i + p - lift, p^-1) minus 1 when lift was not centered
+    up (see backend notes: x_i + p - lift < 2^32 always). `dev` is the
+    level-ops instance for primes[:-1] — module-level so tools
+    (profiling) can call it without a JaxProgram shim."""
+    import jax.numpy as jnp
+
+    p = primes[-1]
+    rest = primes[:-1]
+    lift = coeffs[..., -1, :]  # [..., N] standard residues < p
+    flag_high = lift > (p // 2)  # centered lift is negative
+    pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
+    for i, q in enumerate(rest):
+        inv = pow(p % q, q - 2, q)
+        pinv_mont[i, 0] = (inv << 32) % q
+    # < 2^32, no wrap
+    v = coeffs[..., :-1, :] + (np.uint32(p) - lift)[..., None, :]
+    r = dev.mul_mont(v, pinv_mont)
+    # When lift <= p/2 we computed (x - lift + p)/p = want + 1.
+    corr = jnp.where(flag_high[..., None, :], jnp.uint32(0), jnp.uint32(1))
+    return dev.sub(r, corr)
+
+
 def _plain_np(pt) -> np.ndarray:
     """Host plaintext planes for upload: the data-prime rows, with the
     extended-basis (key-prime) rows appended when the encode carries them
@@ -1242,26 +1268,10 @@ class JaxProgram:
                               self.dkeys.layout(ksk, level))
 
     def _divide_last(self, coeffs, primes: List[int]):
-        """Divide-and-round coefficient planes by the last prime.
-
-        r_i = (x_i - centered([x]_p)) / p  mod q_i, computed as
-        mont_mul(x_i + p - lift, p^-1) minus 1 when lift was not centered
-        up (see backend notes: x_i + p - lift < 2^32 always)."""
-        p = primes[-1]
-        rest = primes[:-1]
-        dev = self._lops(rest)
-        lift = coeffs[..., -1, :]  # [..., N] standard residues < p
-        flag_high = lift > (p // 2)  # centered lift is negative
-        pinv_mont = np.empty((len(rest), 1), dtype=np.uint32)
-        for i, q in enumerate(rest):
-            inv = pow(p % q, q - 2, q)
-            pinv_mont[i, 0] = (inv << 32) % q
-        # < 2^32, no wrap
-        v = coeffs[..., :-1, :] + (np.uint32(p) - lift)[..., None, :]
-        r = dev.mul_mont(v, pinv_mont)
-        # When lift <= p/2 we computed (x - lift + p)/p = want + 1.
-        corr = jnp.where(flag_high[..., None, :], jnp.uint32(0), jnp.uint32(1))
-        return dev.sub(r, corr)
+        """Divide-and-round coefficient planes by the last prime (see
+        divide_last_planes; routed through self._lops so a seq-sharded
+        trace uses the sharded elementwise ops)."""
+        return divide_last_planes(coeffs, primes, self._lops(primes[:-1]))
 
     def _rescale(self, polys, level: int):
         ctx = self.ctx

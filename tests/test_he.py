@@ -181,6 +181,50 @@ class TestNoiseEstimator:
         ratio = est["y"]["slot_error_std"] / max(measured, 1e-30)
         assert 0.2 < ratio < 5.0, f"estimator off by {ratio}x"
 
+    def test_noise_vs_ks_alpha(self, monkeypatch):
+        """The hybrid-decomposition group size must not breach the 0.01
+        decrypt gate on a rotation-heavy program at any selectable
+        alpha. alpha>=3 degenerates to the alpha=2 pairing under the
+        single 60-bit special modulus (ks_groups caps group products at
+        2P — tools/sweep_alpha.py documents the packing), so {1,2}
+        covers every distinct kernel configuration; the group-shape
+        assertion below fails loudly if a wider P ever makes alpha=4
+        distinct, at which point this test must measure it too."""
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.crypto.context import get_context
+
+        random.seed(23)
+        prog = EvaProgram("alphan", vec_size=64)
+        with prog:
+            x = Input("x")
+            acc = None
+            for i, t in enumerate((1, 2, 3, 9, 10)):
+                term = (x << t) * (0.3 * (i % 3) - 0.3)
+                acc = term if acc is None else acc + term
+            Output("y", acc * acc)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(40)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(64)]}
+        ref = evaluate(prog, inputs)
+        ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
+                          params.poly_modulus_degree)
+        assert ctx.ks_groups(4) == ctx.ks_groups(2), (
+            "wider special modulus made alpha=4 distinct: extend this "
+            "sweep to cover it")
+        for alpha in (1, 2):
+            monkeypatch.setenv("EVA_TPU_KS_ALPHA", str(alpha))
+            pub, sec = generate_keys(params)
+            out = sec.decrypt(
+                pub.execute(compiled, pub.encrypt(inputs, sig)), sig)
+            mse = valuation_mse(out, ref)
+            assert mse < 0.01, (alpha, mse)
+
     def test_flags_insufficient_scale(self):
         from eva_tpu.ckks import CKKSCompiler
         from eva_tpu.runtime.noise import estimate_noise
