@@ -696,8 +696,24 @@ class JaxProgram:
 
         acc0, acc1 = dig_sum(t0), dig_sum(t1)
         if dp["axis"] is not None:
-            acc0 = _modular_all_reduce(acc0, ext.q, dp["axis"], dp["n_dev"])
-            acc1 = _modular_all_reduce(acc1, ext.q, dp["axis"], dp["n_dev"])
+            if dp.get("dcn_axis"):
+                # Digits sharded over ("hlimb" x "limb"): hierarchical
+                # accumulation — ICI reduce-scatter, 1/limb-sized DCN
+                # butterfly, ICI gather (parallel/ks_shard; bit-identical
+                # to the flat butterfly: modular adds are associative).
+                from ..parallel.ks_shard import \
+                    hierarchical_modular_all_reduce
+                acc0 = hierarchical_modular_all_reduce(
+                    acc0, ext.q, dp["axis"], dp["n_dev"],
+                    dp["dcn_axis"], dp["n_dcn"])
+                acc1 = hierarchical_modular_all_reduce(
+                    acc1, ext.q, dp["axis"], dp["n_dev"],
+                    dp["dcn_axis"], dp["n_dcn"])
+            else:
+                acc0 = _modular_all_reduce(acc0, ext.q, dp["axis"],
+                                           dp["n_dev"])
+                acc1 = _modular_all_reduce(acc1, ext.q, dp["axis"],
+                                           dp["n_dev"])
         if defer:
             # Rotation-sum fusion: the all-reduced accumulators are
             # replicated across the limb axis, exactly like the tail's
@@ -717,7 +733,7 @@ class JaxProgram:
         return tail(acc0), tail(acc1)
 
     def _body_dp(self, cipher_in, plain_in, dp_tabs, dp_keys,
-                 axis, n_dev: int, seq=None):
+                 axis, n_dev: int, seq=None, dcn=None):
         """Trace the program with the digit-parallel key-switch context
         installed; dp_tabs/dp_keys are the (possibly shard-local) tables
         and key planes. axis=None traces the layout without collectives
@@ -725,9 +741,12 @@ class JaxProgram:
         the sequence-parallel context as well — the two compose because
         their collectives ride orthogonal mesh axes: the digit partial
         sums all-reduce over "limb" while each digit's NTTs all-to-all
-        over "seq"."""
+        over "seq". `dcn=(axis, n_dev)` adds a host-spanning second
+        digit axis whose accumulation runs hierarchically."""
         self._dp = {"axis": axis, "n_dev": n_dev,
                     "tables": dp_tabs, "keys": dp_keys}
+        if dcn is not None:
+            self._dp["dcn_axis"], self._dp["n_dcn"] = dcn
         if seq is not None:
             self._seq = {"axis": seq[0], "n_dev": seq[1]}
         try:
@@ -780,8 +799,20 @@ class JaxProgram:
                       for k in plain_in})
             n_dp = mesh.shape.get("limb", 1)
             n_seq = mesh.shape.get("seq", 1)
-            use_dp = (n_dp > 1 and self.k == 1 and (n_dp & (n_dp - 1)) == 0
+            n_hl = mesh.shape.get("hlimb", 1)  # host-spanning digit axis
+            n_dig_shards = n_dp * n_hl
+            use_dp = (n_dig_shards > 1 and self.k == 1
+                      and (n_dp & (n_dp - 1)) == 0
+                      and (n_hl & (n_hl - 1)) == 0
                       and self._ks_sites())
+            if n_hl > 1:
+                if n_seq > 1:
+                    raise ValueError(
+                        'mesh axes "hlimb" and "seq" do not compose')
+                if not use_dp:
+                    raise ValueError(
+                        'mesh axis "hlimb" > 1 needs power-of-two sizes '
+                        "and a program with key switches")
             from jax.sharding import NamedSharding
             repl = NamedSharding(mesh, P())
 
@@ -791,14 +822,14 @@ class JaxProgram:
                 for name, level, alpha in self._ks_sites():
                     if (level, alpha) not in dp_tabs:
                         member, conv = _ks_dp_tables(
-                            self.ctx, level, alpha, n_dp)
+                            self.ctx, level, alpha, n_dig_shards)
                         with jax.ensure_compile_time_eval():
                             dp_tabs[(level, alpha)] = (
                                 jnp.asarray(member), jnp.asarray(conv))
                     ksk = (self.keys.relin if name == "relin"
                            else self.keys.galois[int(name.split("_")[1])])
                     dp_keys[f"{name}@L{level}"] = self.dkeys.dp_layout(
-                        ksk, level, n_dp)
+                        ksk, level, n_dig_shards)
                 return dp_tabs, dp_keys
 
             if n_seq > 1:
@@ -870,13 +901,15 @@ class JaxProgram:
                     lambda _: P(bax),
                     jax.eval_shape(
                         lambda c, p: self._body_dp(
-                            c, p, dp_tabs, dp_keys, None, n_dp),
+                            c, p, dp_tabs, dp_keys, None, n_dig_shards),
                         cipher_in, plain_in))
-                dp_specs = jax.tree.map(lambda _: P("limb"),
+                dig_ax = ("hlimb", "limb") if n_hl > 1 else "limb"
+                dcn = ("hlimb", n_hl) if n_hl > 1 else None
+                dp_specs = jax.tree.map(lambda _: P(dig_ax),
                                         (dp_tabs, dp_keys))
                 body = shard_map(
                     lambda c, p, t, k: self._body_dp(
-                        c, p, t, k, "limb", n_dp),
+                        c, p, t, k, "limb", n_dp, dcn=dcn),
                     mesh=mesh, in_specs=(specs[0], specs[1]) + dp_specs,
                     out_specs=out_specs)
                 # dp tables/keys stay explicit shard_map args (sharded

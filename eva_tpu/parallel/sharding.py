@@ -81,18 +81,23 @@ def check_ici_axes(dev_array: np.ndarray, names) -> None:
                 f'mesh axis "{ax_name}" spans multiple hosts (processes '
                 f"{sorted(set(proc.ravel().tolist()))}): its per-op "
                 f"collectives would ride DCN at ~0.34 scaling efficiency "
-                f"(SCALING.json; target >=0.8). Keep limb/seq within one "
-                f'host and scale across hosts with the "host" (batch) '
-                f"axis, or set EVA_TPU_ALLOW_DCN_LIMB=1 to override.")
+                f"(SCALING.json; target >=0.8). Shard digits across hosts "
+                f'with the "hlimb" axis instead (make_device_mesh '
+                f"dcn_limb=H): its accumulation is the hierarchical "
+                f"modular all-reduce, whose DCN hop carries 1/limb of the "
+                f"plane bytes (parallel/ks_shard). Or set "
+                f"EVA_TPU_ALLOW_DCN_LIMB=1 to override.")
 
 
 def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
                      devices=None, hosts: int = 1,
-                     seq_axis: int = 1) -> Mesh:
+                     seq_axis: int = 1, dcn_limb: int = 1) -> Mesh:
     """Mesh over the available devices: ("batch", "limb"), with
-    hosts > 1 a leading "host" axis, and with seq_axis > 1 a trailing
+    hosts > 1 a leading "host" axis, with seq_axis > 1 a trailing
     "seq" axis (the ring dimension N of every polynomial sharded — the
-    sequence-parallel / latency axis; parallel/seq_exec).
+    sequence-parallel / latency axis; parallel/seq_exec), and with
+    dcn_limb > 1 a leading "hlimb" axis — a SECOND digit axis that MAY
+    span host processes.
 
     The host axis is the DCN dimension: under jax.distributed each
     process contributes its local devices, jax.devices() returns the
@@ -100,14 +105,27 @@ def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
     puts each host's devices in one "host" row — so "batch"/"limb"/
     "seq" collectives ride ICI within a host while only the batch
     sharding (zero communication) crosses DCN. Executors treat
-    ("host", "batch") together as the batch sharding axes."""
+    ("host", "batch") together as the batch sharding axes.
+
+    "hlimb" shards key-switch digits ACROSS hosts: its accumulation is
+    the hierarchical modular all-reduce (ICI reduce-scatter over
+    "limb", one 1/limb-sized DCN butterfly over "hlimb", ICI gather —
+    parallel/ks_shard.hierarchical_modular_all_reduce), so the DCN hop
+    carries 1/limb of the plane bytes the flat butterfly would. hosts
+    and dcn_limb are mutually exclusive (both claim the process
+    dimension)."""
     if devices is None:
         devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
     devices = np.array(devices[:n_devices])
-    assert n_devices % (limb_axis * hosts * seq_axis) == 0
-    batch = n_devices // (hosts * limb_axis * seq_axis)
+    assert not (hosts > 1 and dcn_limb > 1), \
+        "hosts and dcn_limb both claim the process dimension"
+    assert dcn_limb == 1 or limb_axis > 1, (
+        "dcn_limb needs an intra-host limb axis > 1: the hierarchical "
+        "all-reduce's DCN saving is 1/limb_axis of the plane bytes")
+    assert n_devices % (limb_axis * hosts * seq_axis * dcn_limb) == 0
+    batch = n_devices // (hosts * limb_axis * seq_axis * dcn_limb)
     shape, names = [batch, limb_axis], ["batch", "limb"]
     if seq_axis > 1:
         shape.append(seq_axis)
@@ -115,6 +133,9 @@ def make_device_mesh(n_devices: Optional[int] = None, limb_axis: int = 1,
     if hosts > 1:
         shape.insert(0, hosts)
         names.insert(0, "host")
+    if dcn_limb > 1:
+        shape.insert(0, dcn_limb)
+        names.insert(0, "hlimb")
     arr = devices.reshape(shape)
     check_ici_axes(arr, names)
     return Mesh(arr, tuple(names))

@@ -255,14 +255,19 @@ class BSGSRotationFactorizer:
     # B*MAC + G*(DEC + MAC + EPI). Ratios from the measured kernel
     # speed-of-light section (BENCH_r04 kernel_sol: ks_digits 288 us,
     # mac+epilogue 210 us at N=16384 L=6): decomposition ~3 MACs, the
-    # two-poly division epilogue ~1.5 MACs. Small convolutions (3x3..5x5)
-    # therefore stay DIRECT — one decomposition and one fused epilogue
-    # beat 2(K-1) extra decompositions — while wide rotation sets
-    # (~>6x6) still factor. Override: config bsgs_rotations=false
+    # two-poly division epilogue ~1.5 MACs. Round-5 MEASURED units
+    # (BENCH r5 kernel_sol at N=16384 L=0: ks_digits 302 us, mac-only
+    # 24.5 us, epilogue 170 us) put the MAC far cheaper still —
+    # dec : mac : epi = 12.3 : 1 : 7.0 — so factoring only pays for
+    # very wide rotation sets (every giant buys a fresh decomposition
+    # AND an inner-sum epilogue; with G giants the break-even is
+    # roughly R > G*(DEC+EPI) + B ≈ 80+ rotations at G=2). Convolution
+    # grids through ~8x8 stay DIRECT: one hoisted decomposition + R
+    # MACs + one fused epilogue. Override: config bsgs_rotations=false
     # disables factoring entirely.
-    DEC_COST = 3.0
+    DEC_COST = 12.3
     MAC_COST = 1.0
-    EPI_COST = 1.5
+    EPI_COST = 7.0
 
     def __init__(self, program: Program, types: TermMap, scales: TermMap):
         self.program = program

@@ -133,7 +133,7 @@ def profile(n: int = 16384, n_entries: int = 6) -> List[Tuple[str, float, float,
 
 def estimate_program(compiled, params, *, ntt_row_us: float = 3.1,
                      perm_row_us: float = 0.94, hbm_gbs: float = 530.0,
-                     hbm_eff: float = 0.65, ks_alpha: int = 2,
+                     hbm_eff: float = 0.65, ks_alpha: int = None,
                      return_resources: bool = False):
     """Speed-of-light cost ESTIMATE of one compiled-program execution on
     one chip, from the per-kernel roofline model — the budget a measured
@@ -150,9 +150,12 @@ def estimate_program(compiled, params, *, ntt_row_us: float = 3.1,
     Sobel budget lands at ~4.2 ms vs 4.42 ms measured (within 6%).
     Returns (per-class dict, total_s)."""
     from .crypto.context import get_context
+    from .crypto.keys import default_ks_alpha
     from .ir import ROTATION, Op, Type
     from .runtime.executor import Executor
 
+    if ks_alpha is None:
+        ks_alpha = default_ks_alpha()  # the alpha generate_keys will use
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
                       params.poly_modulus_degree)
     ex = Executor(compiled, ctx, None)

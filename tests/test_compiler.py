@@ -336,24 +336,50 @@ class TestBSGSRotations:
         assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
 
     def test_wide_grid_rotations_factor(self):
-        """An 8x8 rotation grid still factors. The model prefers WIDE
-        baby strides (babies share one decomposition; every giant pays
-        its own): stride 16 gives 15 babies + 3 giants (cost 34.5) over
-        stride 8's 7+7 (48.5) or 63 direct MACs (66)."""
+        """A DENSE 128-tap rotation set still factors. Under the
+        measured cost units (dec 12.3 : mac 1 : epi 7 — every giant
+        buys a fresh decomposition AND an inner-sum epilogue, babies
+        share one decomposition) the model prefers one wide baby stride:
+        a wide stride keeps 1-2 giants over ~40-60 shared-decomposition
+        babies (~95 units) vs 127 direct MACs (139.3); an 8x8 grid, by
+        contrast, stays direct now."""
         import random
         from eva_tpu import evaluate
         from eva_tpu.ckks import CKKSCompiler
         from eva_tpu.metric import valuation_mse
         random.seed(12)
-        taps = [g + b for g in range(0, 64, 8) for b in range(8)]
-        weights = [0.05 * (i % 7) - 0.15 for i in range(64)]
-        prog = self._conv_program(taps, weights)
-        inputs = {"x": [random.uniform(-1, 1) for _ in range(64)]}
+        taps = list(range(128))
+        weights = [0.05 * (i % 7) - 0.15 for i in range(128)]
+        prog = self._conv_program(taps, weights, vec_size=128)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(128)]}
         ref = evaluate(prog, inputs)
         compiled, params, _ = CKKSCompiler(
             {"warn_vec_size": "false"}).compile(prog)
-        assert sorted(params.rotations) == (
-            list(range(1, 16)) + [16, 32, 48])
+        # factored: far fewer keys than the 127 direct rotations, with
+        # at most a couple of giant steps
+        assert len(params.rotations) <= 64
+        assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
+
+    def test_sparse_grid_folds_once(self):
+        """A sparse 8x8 grid (64 taps over a 512-slot vector): the
+        measured-unit model rejects the classic 7-baby/7-giant split
+        (161.4 units — every giant buys a decomposition + epilogue) in
+        favor of ONE fold: stride 256 maps half the taps onto the other
+        half's babies, 31 babies + 1 giant = 63.6 units vs 75.3
+        direct."""
+        import random
+        from eva_tpu import evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        random.seed(13)
+        taps = [g + b for g in range(0, 512, 64) for b in range(8)]
+        prog = self._conv_program(taps, [1.0] * 64, vec_size=512)
+        inputs = {"x": [random.uniform(-1, 1) for _ in range(512)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        assert len(params.rotations) == 32  # 31 babies + giant 256
+        assert 256 in params.rotations
         assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
 
     def test_opt_out_keeps_all_rotations(self):
@@ -385,20 +411,20 @@ class TestBSGSRotations:
         assert valuation_mse(ref, evaluate(compiled, inputs)) < 1e-10
 
     def test_he_roundtrip_with_bsgs(self):
-        # 6x6 grid: wide enough that the execution-cost model still
-        # factors (stride 16: 11 babies + 2 giants, cost 25, beats 35
-        # direct MACs), so the HE round-trip exercises BSGS end to end.
+        # Dense 128-tap set: wide enough that the measured-unit cost
+        # model still factors (63 babies + 1 giant beat 127 direct
+        # MACs), so the HE round-trip exercises BSGS end to end.
         import random
         from helpers import compile_and_check
         from eva_tpu.ckks import CKKSCompiler
         random.seed(7)
-        taps = [g + b for g in range(0, 48, 8) for b in range(6)]
-        weights = [0.1 * (i % 5) - 0.2 for i in range(36)]
-        prog = self._conv_program(taps, weights)
+        taps = list(range(128))
+        weights = [0.1 * (i % 5) - 0.2 for i in range(128)]
+        prog = self._conv_program(taps, weights, vec_size=128)
         _, params, _ = CKKSCompiler(
             {"warn_vec_size": "false"}).compile(prog)
-        assert len(params.rotations) == 13  # 11 babies + 2 giants
-        compile_and_check(self._conv_program(taps, weights))
+        assert len(params.rotations) <= 64  # babies + a couple of giants
+        compile_and_check(self._conv_program(taps, weights, vec_size=128))
 
 
 class TestRotationNormalizer:

@@ -212,6 +212,48 @@ class TestDigitParallelProgram:
         assert mse < 0.01
 
 
+class TestHierarchicalDigitAxis:
+    def test_hlimb_digit_axis_bit_identical(self):
+        """Key-switch digits sharded over the host-spanning "hlimb" axis
+        x the intra-host "limb" axis accumulate via the hierarchical
+        modular all-reduce (ICI reduce-scatter + 1/limb-sized DCN
+        butterfly + gather) and stay BIT-IDENTICAL to single-device
+        execution — modular adds are associative, so the regrouping is
+        exact. Single-process rehearsal of the topology (the DCN hop is
+        loopback here; tools/bench_scaling.py measures the real split)."""
+        import random
+        random.seed(95)
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.runtime import generate_keys
+        from eva_tpu.metric import valuation_mse
+
+        prog = EvaProgram("hl", vec_size=16)
+        with prog:
+            x = Input("x")
+            Output("y", 3 * x ** 2 + (x << 1) + (x << 3) - 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(30)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+
+        batch_inputs = [{"x": [random.uniform(-2, 2) for _ in range(16)]}
+                        for _ in range(2)]
+        encs = [pub.encrypt(b, sig) for b in batch_inputs]
+        singles = pub.execute_batch(compiled, encs, mesh=None)
+        mesh = make_device_mesh(8, limb_axis=2, dcn_limb=2)
+        assert dict(mesh.shape) == {"hlimb": 2, "batch": 2, "limb": 2}
+        outs = pub.execute_batch(compiled, encs, mesh=mesh)
+        for a, b in zip(singles, outs):
+            for name in a:
+                for ca, cb in zip(a[name].polys, b[name].polys):
+                    assert np.array_equal(np.asarray(ca), np.asarray(cb))
+        mse = valuation_mse(sec.decrypt(outs[0], sig),
+                            evaluate(prog, batch_inputs[0]))
+        assert mse < 0.01
+
+
 class TestRotMulFusionOnMesh:
     def test_babystep_fusion_bit_identical_on_meshes(self):
         """Baby-step (rot*const) fusion with extended-basis plaintexts

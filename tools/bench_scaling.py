@@ -99,9 +99,13 @@ def child(opts) -> None:
         args_list.append(jax.make_array_from_process_local_data(
             sharding, local, (opts.batch,) + local.shape[1:]))
 
-    # Two workloads: the deployment shape (independent ciphertext batch,
-    # zero cross-host communication) and the reduce shape (cross-batch
-    # aggregation -> one DCN all-reduce per execution).
+    # Four workloads: the deployment shape (independent ciphertext
+    # batch, zero cross-host communication), the GSPMD reduce shape
+    # (XLA-chosen cross-batch all-reduce), and the explicit modular
+    # all-reduce in its FLAT (full planes over DCN every butterfly
+    # round) vs HIERARCHICAL (ICI reduce-scatter, 1/L-sized DCN
+    # exchange, ICI gather) forms — the comparison VERDICT r4 asked the
+    # rehearsal to measure.
     step_par = jax.jit(
         lambda a0, a1, b0, b1: batch_pipeline_step(dev)(a0, a1, b0, b1)[:3],
         in_shardings=(sharding,) * 4)
@@ -109,8 +113,44 @@ def child(opts) -> None:
                        in_shardings=(sharding,) * 4)
     per_par = measure(step_par, args_list, reps=opts.reps)
     per_red = measure(step_red, args_list, reps=opts.reps)
+
+    from eva_tpu.parallel.ks_shard import (_modular_all_reduce,
+                                           hierarchical_modular_all_reduce)
+    from eva_tpu.parallel.sharding import shard_map_compat
+    L = opts.local_devices
+    H = opts.hosts
+
+    def local_compute(a0, a1, b0, b1):
+        c0 = dev.mul(a0, b0)
+        c1 = dev.add(dev.mul(a0, b1), dev.mul(a1, b0))
+        c2 = dev.mul(a1, b1)
+        c1 = dev.ntt(dev.intt(c1))
+        total = dev.add(dev.add(c0, c1), c2)
+        part = total[0]
+        for i in range(1, total.shape[0]):
+            part = dev.add(part, total[i])
+        return part  # [rows, N] local modular partial sum
+
+    def body_flat(a0, a1, b0, b1):
+        part = local_compute(a0, a1, b0, b1)
+        part = _modular_all_reduce(part, dev.q, "batch", L)
+        return _modular_all_reduce(part, dev.q, "host", H)
+
+    def body_hier(a0, a1, b0, b1):
+        part = local_compute(a0, a1, b0, b1)
+        return hierarchical_modular_all_reduce(
+            part, dev.q, "batch", L, "host", H)
+
+    in_specs = (P(("host", "batch")),) * 4
+    step_flat = jax.jit(shard_map_compat(
+        body_flat, mesh=mesh, in_specs=in_specs, out_specs=P()))
+    step_hier = jax.jit(shard_map_compat(
+        body_hier, mesh=mesh, in_specs=in_specs, out_specs=P()))
+    per_flat = measure(step_flat, args_list, reps=opts.reps)
+    per_hier = measure(step_hier, args_list, reps=opts.reps)
     if opts.proc == 0:
-        print(f"CHILD_RESULT {opts.batch / per_par} {opts.batch / per_red}",
+        print(f"CHILD_RESULT {opts.batch / per_par} {opts.batch / per_red} "
+              f"{opts.batch / per_flat} {opts.batch / per_hier}",
               flush=True)
 
 
@@ -151,12 +191,15 @@ def main() -> None:
         "step_par = jax.jit(lambda a0,a1,b0,b1:"
         " batch_pipeline_step(dev)(a0,a1,b0,b1)[:3]);"
         "step_red = jax.jit(batch_pipeline_step(dev));"
+        "step_sum = jax.jit(lambda a0,a1,b0,b1:"
+        " batch_pipeline_step(dev)(a0,a1,b0,b1)[3]);"
         "pp = measure(step_par, args, %d);"
         "pr = measure(step_red, args, %d);"
-        "print('BASE_RESULT', B / pp, B / pr, flush=True)"
+        "ps = measure(step_sum, args, %d);"
+        "print('BASE_RESULT', B / pp, B / pr, B / ps, flush=True)"
     ) % (env["PYTHONPATH"], opts.limbs, opts.n, opts.n,
          opts.batch // (opts.hosts * opts.local_devices), opts.n,
-         opts.reps, opts.reps)
+         opts.reps, opts.reps, opts.reps)
 
     import shutil
     ncores = os.cpu_count() or 1
@@ -175,10 +218,12 @@ def main() -> None:
     base = subprocess.run(pinned([sys.executable, "-c", base_code], 0),
                           env=env, capture_output=True, text=True,
                           timeout=1200)
-    t1 = t1r = None
+    t1 = t1r = t1s = None
     for line in base.stdout.splitlines():
         if line.startswith("BASE_RESULT"):
-            t1, t1r = float(line.split()[1]), float(line.split()[2])
+            parts = line.split()
+            t1, t1r, t1s = (float(parts[1]), float(parts[2]),
+                            float(parts[3]))
     if t1 is None:
         sys.stderr.write(base.stdout + base.stderr)
         raise SystemExit("single-device baseline failed")
@@ -199,12 +244,14 @@ def main() -> None:
         procs.append(subprocess.Popen(
             cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True))
-    tH = tHr = None
+    tH = tHr = tHf = tHh = None
     outs = [p.communicate(timeout=1200) for p in procs]
     for out, err in outs:
         for line in out.splitlines():
             if line.startswith("CHILD_RESULT"):
-                tH, tHr = float(line.split()[1]), float(line.split()[2])
+                parts = line.split()
+                tH, tHr, tHf, tHh = (float(parts[1]), float(parts[2]),
+                                     float(parts[3]), float(parts[4]))
     if tH is None:
         for out, err in outs:
             sys.stderr.write(err[-2000:])
@@ -215,6 +262,7 @@ def main() -> None:
         "metric": "scaling_efficiency",
         "hosts": opts.hosts,
         "devices": n_dev,
+        "local_devices": opts.local_devices,
         "backend": "cpu-rehearsal (multi-process jax.distributed)",
         "t1_ct_per_s": round(t1, 2),
         "tH_ct_per_s": round(tH, 2),
@@ -222,6 +270,13 @@ def main() -> None:
         "t1_reduce_ct_per_s": round(t1r, 2),
         "tH_reduce_ct_per_s": round(tHr, 2),
         "efficiency_with_reduce": round(tHr / (n_dev * t1r), 3),
+        "t1_sum_ct_per_s": round(t1s, 2),
+        "tH_flat_modreduce_ct_per_s": round(tHf, 2),
+        "efficiency_with_flat_modreduce": round(tHf / (n_dev * t1s), 3),
+        "tH_hier_modreduce_ct_per_s": round(tHh, 2),
+        "efficiency_with_hierarchical_reduce":
+            round(tHh / (n_dev * t1s), 3),
+        "hier_vs_flat": round(tHh / tHf, 3) if tHf else None,
     }))
 
 
