@@ -208,6 +208,10 @@ class PallasEpilogue:
             pdiv[d, 0, self.n_ext] = p
             pdiv[d, 0, self.n_ext + 1] = p // 2
         self.pdiv = pdiv
+        # Traced-kernel cache: jit-wrapping each pallas_call caches the
+        # (expensive, ~40 s for the epilogue body) kernel trace per
+        # shape signature — see pallas_ntt.PallasNTT._fns.
+        self._fns = {}
 
     def _interpret(self):
         return jax.default_backend() != "tpu"
@@ -232,40 +236,46 @@ class PallasEpilogue:
                                 memory_space=pltpu.VMEM)
 
         n_st = len(t.msti_stages)
-        out = pl.pallas_call(
-            _epilogue_kernel(self.n_ext, self.n_key, n1, n2, n_st, out_ntt),
-            grid=grid,
-            interpret=self._interpret(),
-            # The per-step working set (n_ext acc planes + both corr
-            # tables + n_ext live rows) sits near Mosaic's default 16 MB
-            # scoped-vmem cap at n_ext=14; raise the cap so surrounding-
-            # program buffer pressure cannot tip the compile over (v5e
-            # VMEM is 128 MiB).
-            compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=64 * 1024 * 1024),
-            in_specs=[
-                pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
-                             memory_space=pltpu.SMEM),
-                full(t.mcorr_i.shape),
-                *[full(s.shape) for s in t.msti_stages],
-                full((self.n_out,) + t.mcorr_f.shape[1:]),
-                *[full((self.n_out,) + s.shape[1:])
-                  for s in t.mstf_stages],
-                full(t.st2_i.shape + (1,)),
-                full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
-            ],
-            out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
-                                   memory_space=pltpu.VMEM),
-            out_shape=out_shape,
-        )(acc, self.qs, self.pdiv,
-          t.mcorr_i, *t.msti_stages,
-          t.mcorr_f[:self.n_out],
-          *[s[:self.n_out] for s in t.mstf_stages],
-          t.st2_i[..., None], t.st2_f[:self.n_out, ..., None])
+        key = ("epi", out_ntt, B, self._interpret())
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(pl.pallas_call(
+                _epilogue_kernel(self.n_ext, self.n_key, n1, n2, n_st,
+                                 out_ntt),
+                grid=grid,
+                interpret=self._interpret(),
+                # The per-step working set (n_ext acc planes + both corr
+                # tables + n_ext live rows) sits near Mosaic's default
+                # 16 MB scoped-vmem cap at n_ext=14; raise the cap so
+                # surrounding-program buffer pressure cannot tip the
+                # compile over (v5e VMEM is 128 MiB).
+                compiler_params=pltpu.CompilerParams(
+                    vmem_limit_bytes=64 * 1024 * 1024),
+                in_specs=[
+                    pl.BlockSpec((1, 1, self.n_ext, n1, n2), accidx,
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(self.qs.shape, lambda b, p: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                    pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
+                                 memory_space=pltpu.SMEM),
+                    full(t.mcorr_i.shape),
+                    *[full(s.shape) for s in t.msti_stages],
+                    full((self.n_out,) + t.mcorr_f.shape[1:]),
+                    *[full((self.n_out,) + s.shape[1:])
+                      for s in t.mstf_stages],
+                    full(t.st2_i.shape + (1,)),
+                    full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
+                ],
+                out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
+                                       memory_space=pltpu.VMEM),
+                out_shape=out_shape,
+            ))
+            self._fns[key] = fn
+        out = fn(acc, self.qs, self.pdiv,
+                 t.mcorr_i, *t.msti_stages,
+                 t.mcorr_f[:self.n_out],
+                 *[s[:self.n_out] for s in t.mstf_stages],
+                 t.st2_i[..., None], t.st2_f[:self.n_out, ..., None])
         return (out[:, 0].reshape(B, self.n_out, self.n),
                 out[:, 1].reshape(B, self.n_out, self.n))
 
@@ -359,14 +369,20 @@ class PallasKeySwitch(PallasEpilogue):
             pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
         ]
         args += [self.qs, t.mcorr_f, *t.mstf_stages, t.st2_f[..., None]]
-        acc0, acc1 = pl.pallas_call(
-            _mac_kernel(self.alpha, n1, n2, len(t.mstf_stages), have_own),
-            grid=grid,
-            interpret=self._interpret(),
-            in_specs=in_specs,
-            out_specs=(acc_spec, acc_spec),
-            out_shape=(out_shape, out_shape),
-        )(*args)
+        key = ("mac", have_own, B, self._interpret())
+        fn = self._fns.get(key)
+        if fn is None:
+            fn = jax.jit(pl.pallas_call(
+                _mac_kernel(self.alpha, n1, n2, len(t.mstf_stages),
+                            have_own),
+                grid=grid,
+                interpret=self._interpret(),
+                in_specs=in_specs,
+                out_specs=(acc_spec, acc_spec),
+                out_shape=(out_shape, out_shape),
+            ))
+            self._fns[key] = fn
+        acc0, acc1 = fn(*args)
         return (acc0.reshape(B, self.n_ext, self.n),
                 acc1.reshape(B, self.n_ext, self.n))
 

@@ -85,6 +85,7 @@ class PallasNTTTables:
         mst1_f = np.empty((n_sub, 2, n1), dtype=np.uint32)
         mst1_i = np.empty((n_sub, 2, n1), dtype=np.uint32)
         rp_all, ip_all = [], []
+        pk2f_all, pk2i_all = [], []
         mcorr_f = np.empty((n_sub, 2, n1, n2), dtype=np.uint32)
         mcorr_i = np.empty((n_sub, 2, n2, n1), dtype=np.uint32)
 
@@ -140,8 +141,12 @@ class PallasNTTTables:
 
             st1_f[li] = shoup_stack(packed(n1, omega), q)
             st1_i[li] = shoup_stack(packed(n1, omega_inv), q)
-            st2_f[li] = shoup_stack(packed(n2, omega), q)
-            st2_i[li] = shoup_stack(packed(n2, omega_inv), q)
+            pk2_f = packed(n2, omega)
+            pk2_i = packed(n2, omega_inv)
+            st2_f[li] = shoup_stack(pk2_f, q)
+            st2_i[li] = shoup_stack(pk2_i, q)
+            pk2f_all.append(pk2_f)
+            pk2i_all.append(pk2_i)
 
             # Merged-psi tables. psi1 = psi^n2 is a primitive 2*n1-th
             # root of -1 for the size-n1 negacyclic sub-transform.
@@ -206,6 +211,15 @@ class PallasNTTTables:
             t <<= 1
         self.mstf_stages = stage_expand(rp_all, fwd_shapes)
         self.msti_stages = stage_expand(ip_all, inv_shapes)
+
+        # Raw per-limb twiddle vectors for the v2 (relayout-minimal)
+        # kernel's table packer (pallas_ntt_v2.py): merged-psi root
+        # powers for the n1 sub-transform, packed cyclic stage twiddles
+        # for the n2 sub-transform.
+        self.rp_raw = np.stack(rp_all)      # [n_sub, n1] uint64
+        self.ip_raw = np.stack(ip_all)
+        self.pk2f_raw = np.stack(pk2f_all)  # [n_sub, n2] uint64
+        self.pk2i_raw = np.stack(pk2i_all)
 
 
 def _sub_dif(x, st, q, size):
@@ -335,6 +349,13 @@ class PallasNTT:
         n_sub = len(primes)
         # Scalar params per limb: (q, nqinv).
         self.qs = np.stack([self.t.q, self.t.nqinv], axis=1)  # [n_sub, 2]
+        # Traced-kernel cache: tracing the unrolled butterfly body costs
+        # ~3 s of Python per pallas_call (measured, tools/profile_trace),
+        # and a whole-graph trace re-traces the same kernel dozens of
+        # times. jit-wrapping the pallas_call caches the kernel jaxpr
+        # per input-shape signature, so each kernel traces ONCE per
+        # process (the outer trace then just inserts a call).
+        self._fns = {}
 
     def _call(self, x, kernel_factory, corr, st1_stages, st2):
         t = self.t
@@ -349,32 +370,40 @@ class PallasNTT:
                 chunk = c
                 break
         grid = (n_sub, batch // chunk)
-        kernel = kernel_factory(n1, n2, len(st1_stages))
         interpret = jax.default_backend() != "tpu"
+        key = (kernel_factory, batch, interpret)
+        fn = self._fns.get(key)
+        if fn is None:
+            kernel = kernel_factory(n1, n2, len(st1_stages))
 
-        def limb_first(shape):
-            nd = len(shape)
-            return pl.BlockSpec((1,) + shape[1:],
-                                lambda l, b: (l,) + (0,) * (nd - 1),
-                                memory_space=pltpu.VMEM)
+            def limb_first(shape):
+                nd = len(shape)
+                return pl.BlockSpec((1,) + shape[1:],
+                                    lambda l, b: (l,) + (0,) * (nd - 1),
+                                    memory_space=pltpu.VMEM)
 
-        out = pl.pallas_call(
-            kernel,
-            grid=grid,
-            interpret=interpret,
-            in_specs=[
-                pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
-                             memory_space=pltpu.VMEM),
-                limb_first(corr.shape),
-                *[limb_first(s.shape) for s in st1_stages],
-                limb_first(st2.shape + (1,)),
-                pl.BlockSpec((n_sub, 2), lambda l, b: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ],
-            out_specs=pl.BlockSpec((chunk, 1, n1, n2), lambda l, b: (b, l, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((batch, n_sub, n1, n2), jnp.uint32),
-        )(xr, corr, *st1_stages, st2[..., None], self.qs)
+            fn = jax.jit(pl.pallas_call(
+                kernel,
+                grid=grid,
+                interpret=interpret,
+                in_specs=[
+                    pl.BlockSpec((chunk, 1, n1, n2),
+                                 lambda l, b: (b, l, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    limb_first(corr.shape),
+                    *[limb_first(s.shape) for s in st1_stages],
+                    limb_first(st2.shape + (1,)),
+                    pl.BlockSpec((n_sub, 2), lambda l, b: (0, 0),
+                                 memory_space=pltpu.SMEM),
+                ],
+                out_specs=pl.BlockSpec((chunk, 1, n1, n2),
+                                       lambda l, b: (b, l, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((batch, n_sub, n1, n2),
+                                               jnp.uint32),
+            ))
+            self._fns[key] = fn
+        out = fn(xr, corr, *st1_stages, st2[..., None], self.qs)
         return out.reshape(*lead, self.n)
 
     def ntt(self, x):
@@ -388,5 +417,19 @@ class PallasNTT:
 
 
 @lru_cache(maxsize=None)
-def get_pallas_ntt(primes: Tuple[int, ...], n: int) -> PallasNTT:
+def _get_pallas_ntt_cached(primes: Tuple[int, ...], n: int, variant: int):
+    if variant == 2:
+        from .pallas_ntt_v2 import PallasNTTv2
+        return PallasNTTv2(list(primes), n)
     return PallasNTT(list(primes), n)
+
+
+def get_pallas_ntt(primes: Tuple[int, ...], n: int):
+    """NTT kernel engine for (primes, n). EVA_TPU_NTT_V2=1 selects the
+    relayout-minimal v2 stage schedule (pallas_ntt_v2.py, bit-identical
+    outputs); v2 requires n1 = n/128 >= 8, i.e. n >= 1024."""
+    import os
+    variant = 1
+    if os.environ.get("EVA_TPU_NTT_V2") and n // LANES >= 8:
+        variant = 2
+    return _get_pallas_ntt_cached(primes, n, variant)
