@@ -573,7 +573,15 @@ def measure_vpu_modmul(jax, jnp, dev, poly, on_tpu: bool) -> float:
         return best
 
     r1, r2 = (4, 24) if on_tpu else (1, 3)
-    per = max((chain_time(r2) - chain_time(r1)) / (r2 - r1), 1e-9)
+    per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+    if per <= 0:
+        # Tunnel noise produced a non-positive slope; a silently-clamped
+        # near-zero `per` would make every compute_pct read 0.0. Retry
+        # once, then fall back to the (overhead-inclusive, so
+        # conservative) long-chain average.
+        per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+        if per <= 0:
+            per = chain_time(r2) / r2
     n_elems = 1
     for d in poly.shape:
         n_elems *= d
@@ -699,7 +707,12 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
                 best = min(best, time.perf_counter() - t0)
             return best
         r1, r2 = (4, 24) if on_tpu else (1, 3)
-        return max((chain_time(r2) - chain_time(r1)) / (r2 - r1), 1e-9)
+        per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+        if per <= 0:  # noise-negative slope: retry, then long-chain avg
+            per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
+            if per <= 0:
+                per = chain_time(r2) / r2
+        return per
 
     def measure(out: dict) -> dict:
         """Fills `out` INCREMENTALLY (one compile per kernel), so a

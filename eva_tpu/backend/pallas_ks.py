@@ -65,7 +65,8 @@ def _intt_row(x, corr, st1_stages, st2, q, n1, n2):
     return _sub_gs_merged(x, st1_stages, q, n1)
 
 
-def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
+def _mac_kernel(alpha, n1, n2, n_st, have_own=False, v2=None,
+                interpret=False):
     """MAC grid step (batch, basis row i, digit group j).
 
     With have_own, the digit's OWN data rows skip the FBE + NTT entirely:
@@ -73,7 +74,11 @@ def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
     NTT plane for row i (the FBE representative differs from D_j only by
     multiples of Qg_j, which vanish mod the own primes), so the kernel
     reads the provided x_ntt row instead of recomputing — n_cur of the
-    n_groups*n_ext row-NTTs, the kernel's dominant cost."""
+    n_groups*n_ext row-NTTs, the kernel's dominant cost.
+
+    v2 (a pallas_ntt_v2.V2Plans): route the row NTT through the
+    relayout-minimal stage schedule; the two plan-table refs replace the
+    n_st+1 per-stage refs. Bit-identical either way."""
 
     def kernel(*refs):
         if have_own:
@@ -83,8 +88,11 @@ def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
         else:
             (y_ref, k0_ref, k1_ref, conv_ref, qs_ref, corr_ref) = refs[:6]
             rest = refs[6:]
-        st1_refs = rest[:n_st]
-        st2_ref, acc0_ref, acc1_ref = rest[n_st:]
+        if v2 is not None:
+            ct_ref, dif_ref, acc0_ref, acc1_ref = rest
+        else:
+            st1_refs = rest[:n_st]
+            st2_ref, acc0_ref, acc1_ref = rest[n_st:]
         i = pl.program_id(1)
         j = pl.program_id(2)
         q = qs_ref[i, 0]
@@ -111,6 +119,10 @@ def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
                 d = add_mod(
                     d, mont_mul(y_ref[0, 0, k], conv_ref[j * alpha + k, i],
                                 q, nqinv), q)
+            if v2 is not None:
+                from .pallas_ntt_v2 import ntt_row_v2
+                return ntt_row_v2(d, corr_ref[0], ct_ref[0], dif_ref[0],
+                                  q, v2, interpret)
             return _ntt_row(d, corr_ref[0], tuple(r[0] for r in st1_refs),
                             st2_ref[0], q, n1, n2)
 
@@ -130,21 +142,32 @@ def _mac_kernel(alpha, n1, n2, n_st, have_own=False):
     return kernel
 
 
-def _epilogue_kernel(n_ext, n_key, n1, n2, n_st, out_ntt):
+def _epilogue_kernel(n_ext, n_key, n1, n2, n_st, out_ntt, v2=None,
+                     interpret=False):
     n_out = n_ext - n_key
 
     def kernel(*refs):
-        acc_ref, qs_ref, pdiv_ref, cori_ref = refs[:4]
-        sti_refs = refs[4:4 + n_st]
-        corf_ref = refs[4 + n_st]
-        stf_refs = refs[5 + n_st:5 + 2 * n_st]
-        st2i_ref, st2f_ref, out_ref = refs[5 + 2 * n_st:]
+        if v2 is not None:
+            from .pallas_ntt_v2 import intt_row_v2, ntt_row_v2
+            (acc_ref, qs_ref, pdiv_ref, cori_ref, gs_ref, dit_ref,
+             corf_ref, ctf_ref, diff_ref, out_ref) = refs
+        else:
+            acc_ref, qs_ref, pdiv_ref, cori_ref = refs[:4]
+            sti_refs = refs[4:4 + n_st]
+            corf_ref = refs[4 + n_st]
+            stf_refs = refs[5 + n_st:5 + 2 * n_st]
+            st2i_ref, st2f_ref, out_ref = refs[5 + 2 * n_st:]
         rows = []
         for r in range(n_ext):
             q = qs_ref[r, 0]
-            rows.append(_intt_row(acc_ref[0, 0, r], cori_ref[r],
-                                  tuple(s[r] for s in sti_refs),
-                                  st2i_ref[r], q, n1, n2))
+            if v2 is not None:
+                rows.append(intt_row_v2(acc_ref[0, 0, r], cori_ref[r],
+                                        gs_ref[r], dit_ref[r], q, v2,
+                                        interpret))
+            else:
+                rows.append(_intt_row(acc_ref[0, 0, r], cori_ref[r],
+                                      tuple(s[r] for s in sti_refs),
+                                      st2i_ref[r], q, n1, n2))
 
         # Divide-and-round by each key prime (executor_jax._divide_last).
         n_rem = n_ext
@@ -165,9 +188,15 @@ def _epilogue_kernel(n_ext, n_key, n1, n2, n_st, out_ntt):
         for r in range(n_out):
             if out_ntt:
                 q = qs_ref[r, 0]
-                out_ref[0, 0, r] = _ntt_row(rows[r], corf_ref[r],
-                                            tuple(s[r] for s in stf_refs),
-                                            st2f_ref[r], q, n1, n2)
+                if v2 is not None:
+                    out_ref[0, 0, r] = ntt_row_v2(
+                        rows[r], corf_ref[r], ctf_ref[r], diff_ref[r],
+                        q, v2, interpret)
+                else:
+                    out_ref[0, 0, r] = _ntt_row(
+                        rows[r], corf_ref[r],
+                        tuple(s[r] for s in stf_refs),
+                        st2f_ref[r], q, n1, n2)
             else:
                 out_ref[0, 0, r] = rows[r]
 
@@ -212,6 +241,18 @@ class PallasEpilogue:
         # (expensive, ~40 s for the epilogue body) kernel trace per
         # shape signature — see pallas_ntt.PallasNTT._fns.
         self._fns = {}
+        self._v2 = None
+
+    def _v2_plans(self):
+        """V2Plans when EVA_TPU_NTT_V2 selects the relayout-minimal row
+        transforms (pallas_ntt_v2), else None (v1 stage loops)."""
+        import os
+        if not os.environ.get("EVA_TPU_NTT_V2") or self.n1 < 8:
+            return None
+        if self._v2 is None:
+            from .pallas_ntt_v2 import V2Plans
+            self._v2 = V2Plans(self.ext_primes, self.n, self.t)
+        return self._v2
 
     def _interpret(self):
         return jax.default_backend() != "tpu"
@@ -236,12 +277,24 @@ class PallasEpilogue:
                                 memory_space=pltpu.VMEM)
 
         n_st = len(t.msti_stages)
-        key = ("epi", out_ntt, B, self._interpret())
+        v2 = self._v2_plans()
+        if v2 is not None:
+            tab_args = [t.mcorr_i, v2.gs_tab, v2.dit_tab,
+                        t.mcorr_f[:self.n_out], v2.ct_tab[:self.n_out],
+                        v2.dif_tab[:self.n_out]]
+        else:
+            tab_args = [t.mcorr_i, *t.msti_stages,
+                        t.mcorr_f[:self.n_out],
+                        *[s[:self.n_out] for s in t.mstf_stages],
+                        t.st2_i[..., None],
+                        t.st2_f[:self.n_out, ..., None]]
+        key = ("epi", out_ntt, B, v2 is not None, self._interpret())
         fn = self._fns.get(key)
         if fn is None:
             fn = jax.jit(pl.pallas_call(
                 _epilogue_kernel(self.n_ext, self.n_key, n1, n2, n_st,
-                                 out_ntt),
+                                 out_ntt, v2=v2,
+                                 interpret=self._interpret()),
                 grid=grid,
                 interpret=self._interpret(),
                 # The per-step working set (n_ext acc planes + both corr
@@ -258,24 +311,14 @@ class PallasEpilogue:
                                  memory_space=pltpu.SMEM),
                     pl.BlockSpec(self.pdiv.shape, lambda b, p: (0, 0, 0),
                                  memory_space=pltpu.SMEM),
-                    full(t.mcorr_i.shape),
-                    *[full(s.shape) for s in t.msti_stages],
-                    full((self.n_out,) + t.mcorr_f.shape[1:]),
-                    *[full((self.n_out,) + s.shape[1:])
-                      for s in t.mstf_stages],
-                    full(t.st2_i.shape + (1,)),
-                    full((self.n_out,) + t.st2_f.shape[1:] + (1,)),
+                    *[full(a.shape) for a in tab_args],
                 ],
                 out_specs=pl.BlockSpec((1, 1, self.n_out, n1, n2), accidx,
                                        memory_space=pltpu.VMEM),
                 out_shape=out_shape,
             ))
             self._fns[key] = fn
-        out = fn(acc, self.qs, self.pdiv,
-                 t.mcorr_i, *t.msti_stages,
-                 t.mcorr_f[:self.n_out],
-                 *[s[:self.n_out] for s in t.mstf_stages],
-                 t.st2_i[..., None], t.st2_f[:self.n_out, ..., None])
+        out = fn(acc, self.qs, self.pdiv, *tab_args)
         return (out[:, 0].reshape(B, self.n_out, self.n),
                 out[:, 1].reshape(B, self.n_out, self.n))
 
@@ -359,22 +402,33 @@ class PallasKeySwitch(PallasEpilogue):
         def tabidx5(b, i, j):
             return (i, 0, 0, 0, 0)
 
+        v2 = self._v2_plans()
         in_specs += [
             pl.BlockSpec(self.qs.shape, lambda b, i, j: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 2, n1, n2), tabidx, memory_space=pltpu.VMEM),
-            *[pl.BlockSpec((1,) + s.shape[1:], tabidx5,
-                           memory_space=pltpu.VMEM)
-              for s in t.mstf_stages],
-            pl.BlockSpec((1, 2, n2, 1), tabidx, memory_space=pltpu.VMEM),
         ]
-        args += [self.qs, t.mcorr_f, *t.mstf_stages, t.st2_f[..., None]]
-        key = ("mac", have_own, B, self._interpret())
+        args += [self.qs, t.mcorr_f]
+        if v2 is not None:
+            in_specs += [pl.BlockSpec((1,) + s.shape[1:], tabidx5,
+                                      memory_space=pltpu.VMEM)
+                         for s in (v2.ct_tab, v2.dif_tab)]
+            args += [v2.ct_tab, v2.dif_tab]
+        else:
+            in_specs += [
+                *[pl.BlockSpec((1,) + s.shape[1:], tabidx5,
+                               memory_space=pltpu.VMEM)
+                  for s in t.mstf_stages],
+                pl.BlockSpec((1, 2, n2, 1), tabidx,
+                             memory_space=pltpu.VMEM),
+            ]
+            args += [*t.mstf_stages, t.st2_f[..., None]]
+        key = ("mac", have_own, B, v2 is not None, self._interpret())
         fn = self._fns.get(key)
         if fn is None:
             fn = jax.jit(pl.pallas_call(
                 _mac_kernel(self.alpha, n1, n2, len(t.mstf_stages),
-                            have_own),
+                            have_own, v2=v2, interpret=self._interpret()),
                 grid=grid,
                 interpret=self._interpret(),
                 in_specs=in_specs,

@@ -217,15 +217,15 @@ def _inv_kernel_v2(gs_plan, dit_plan, interpret):
     return kernel
 
 
-class PallasNTTv2:
-    """Drop-in replacement for pallas_ntt.PallasNTT (bit-identical)."""
+class V2Plans:
+    """Stage plans + packed twiddle tables for one (primes, n) — shared
+    by PallasNTTv2 and the v2 row transforms inside the fused
+    key-switch kernels (pallas_ks)."""
 
-    def __init__(self, primes: List[int], n: int):
-        self.t = PallasNTTTables(primes, n)
-        self.n = n
-        t = self.t
+    def __init__(self, primes: List[int], n: int,
+                 t: PallasNTTTables = None):
+        self.t = t = t if t is not None else PallasNTTTables(primes, n)
         assert t.n1 >= ROWS and t.n2 >= ROWS
-        self.qs = np.stack([t.q, t.nqinv], axis=1)      # [n_sub, 2]
         # Forward-order plans; inverse kernels run them reversed with
         # the inverse twiddle vectors (stage sets are mirror images).
         self.ct_plan, ct_idx = _build_plan(t.n1, positional=False)
@@ -234,6 +234,47 @@ class PallasNTTv2:
         self.gs_tab = _pack_tables(t.ip_raw, ct_idx, primes)
         self.dif_tab = _pack_tables(t.pk2f_raw, dif_idx, primes)
         self.dit_tab = _pack_tables(t.pk2i_raw, dif_idx, primes)
+
+
+def ntt_row_v2(x, corr, ct_tab, dif_tab, q, plans: V2Plans,
+               interpret: bool):
+    """v2 forward negacyclic NTT of one [..., n1, n2] row block; the
+    in-kernel analogue of pallas_ks._ntt_row. corr: [2, n1, n2] pairs;
+    ct_tab/dif_tab: this limb's [2, K, ROWS, 1] plan tables."""
+    x = _run_plan(x, plans.ct_plan, ct_tab, q,
+                  mul_before=True, reverse=False, interpret=interpret)
+    x = shoup_mul(x, corr[0], corr[1], q)
+    x = x.swapaxes(-1, -2)
+    x = _run_plan(x, plans.dif_plan, dif_tab, q,
+                  mul_before=False, reverse=False, interpret=interpret)
+    return x.swapaxes(-1, -2)
+
+
+def intt_row_v2(x, corr, gs_tab, dit_tab, q, plans: V2Plans,
+                interpret: bool):
+    """v2 inverse negacyclic NTT of one [..., n1, n2] row block."""
+    x = x.swapaxes(-1, -2)
+    x = _run_plan(x, plans.dif_plan, dit_tab, q,
+                  mul_before=True, reverse=True, interpret=interpret)
+    x = shoup_mul(x, corr[0], corr[1], q)
+    x = x.swapaxes(-1, -2)
+    return _run_plan(x, plans.ct_plan, gs_tab, q,
+                     mul_before=False, reverse=True, interpret=interpret)
+
+
+class PallasNTTv2:
+    """Drop-in replacement for pallas_ntt.PallasNTT (bit-identical)."""
+
+    def __init__(self, primes: List[int], n: int):
+        self.t = PallasNTTTables(primes, n)
+        self.n = n
+        t = self.t
+        self.qs = np.stack([t.q, t.nqinv], axis=1)      # [n_sub, 2]
+        p = V2Plans(primes, n, t)
+        self.plans = p
+        self.ct_plan, self.dif_plan = p.ct_plan, p.dif_plan
+        self.ct_tab, self.gs_tab = p.ct_tab, p.gs_tab
+        self.dif_tab, self.dit_tab = p.dif_tab, p.dit_tab
         self._fns = {}  # traced-kernel cache (see PallasNTT._fns)
 
     def _call(self, x, fwd: bool):

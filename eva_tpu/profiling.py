@@ -34,7 +34,17 @@ def _slope_time(fn: Callable, x0, red, reps_short=4, reps_long=24) -> float:
     chain(1)  # warm
     d1 = chain(reps_short)
     d2 = chain(reps_long)
-    return max((d2 - d1) / (reps_long - reps_short), 1e-9)
+    per = (d2 - d1) / (reps_long - reps_short)
+    if per <= 0:
+        # Noise-negative slope: a silently-clamped near-zero value
+        # would report an absurd ceiling (observed once on the tunnel:
+        # vpu probe -> 2.5e16 ops/s -> every compute_pct read 0.0).
+        # Retry, then fall back to the overhead-inclusive average.
+        d1, d2 = chain(reps_short), chain(reps_long)
+        per = (d2 - d1) / (reps_long - reps_short)
+        if per <= 0:
+            per = d2 / reps_long
+    return per
 
 
 def measure_hbm_roofline(jax, jnp) -> float:

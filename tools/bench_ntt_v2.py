@@ -26,14 +26,14 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    from eva_tpu.crypto.primes import build_chain
+    from eva_tpu.crypto.context import get_context
     from eva_tpu.backend.pallas_ntt import PallasNTT
     from eva_tpu.backend.pallas_ntt_v2 import PallasNTTv2
 
-    bits = [60] + [40] * (n_sub - 2)
-    chain = build_chain(bits, n)
-    primes = [q for e in chain for q in e.primes][:n_sub]
-    assert len(primes) == n_sub, f"only {len(primes)} primes for {bits}"
+    # Same chain construction as bench.py's kernel section.
+    ctx = get_context(tuple([60] * (n_sub // 2 + 1)), (1,), n)
+    primes = list(ctx.primes_at_level(0))[:n_sub]
+    assert len(primes) >= n_sub, f"only {len(primes)} primes"
     print(f"N={n} n_sub={n_sub} batch={batch} backend={jax.default_backend()}",
           flush=True)
 
@@ -53,10 +53,10 @@ def main():
 
     red = jax.jit(lambda v: jnp.sum(v >> 31))
 
-    def slope(fn, r1=8, r2=24):
+    def slope(fn, r1=16, r2=112):
         def chain_time(reps):
             best = 1e9
-            for _ in range(2):
+            for _ in range(3):
                 cur = xd
                 t0 = time.perf_counter()
                 for _ in range(reps):
@@ -69,8 +69,12 @@ def main():
         ta, tb = chain_time(r1), chain_time(r2)
         return (tb - ta) / (r2 - r1)
 
-    fns = {"v1_ntt": v1.ntt, "v2_ntt": v2.ntt,
-           "v1_intt": v1.intt, "v2_intt": v2.intt}
+    # jit the wrappers so the twiddle tables are captured constants
+    # (uploaded once at compile), exactly like the whole-graph executor;
+    # un-jitted eager calls would re-upload ~2 MB of tables through the
+    # tunnel per dispatch and measure link latency, not the kernel.
+    fns = {"v1_ntt": jax.jit(v1.ntt), "v2_ntt": jax.jit(v2.ntt),
+           "v1_intt": jax.jit(v1.intt), "v2_intt": jax.jit(v2.intt)}
     samples = {k: [] for k in fns}
     for p in range(3):
         for k, fn in fns.items():
