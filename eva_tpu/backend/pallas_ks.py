@@ -244,10 +244,10 @@ class PallasEpilogue:
         self._v2 = None
 
     def _v2_plans(self):
-        """V2Plans when EVA_TPU_NTT_V2 selects the relayout-minimal row
-        transforms (pallas_ntt_v2), else None (v1 stage loops)."""
-        import os
-        if not os.environ.get("EVA_TPU_NTT_V2") or self.n1 < 8:
+        """V2Plans when the v2 relayout-minimal row transforms are
+        selected (pallas_ntt.ntt_v2_selected), else None (v1 loops)."""
+        from .pallas_ntt import ntt_v2_selected
+        if not ntt_v2_selected(self.n):
             return None
         if self._v2 is None:
             from .pallas_ntt_v2 import V2Plans

@@ -424,12 +424,25 @@ def _get_pallas_ntt_cached(primes: Tuple[int, ...], n: int, variant: int):
     return PallasNTT(list(primes), n)
 
 
-def get_pallas_ntt(primes: Tuple[int, ...], n: int):
-    """NTT kernel engine for (primes, n). EVA_TPU_NTT_V2=1 selects the
-    relayout-minimal v2 stage schedule (pallas_ntt_v2.py, bit-identical
-    outputs); v2 requires n1 = n/128 >= 8, i.e. n >= 1024."""
+def ntt_v2_selected(n: int) -> bool:
+    """True when the relayout-minimal v2 stage schedule should be used
+    (pallas_ntt_v2.py; bit-identical outputs). Default ON for real TPU
+    execution — measured 2.0x forward / 1.5x inverse over the v1
+    per-stage concat schedule at N=16384x12 (tools/bench_ntt_v2.py,
+    interleaved median-of-3) — and OFF in interpret mode, where its
+    unrolled slice lists only cost trace time. EVA_TPU_NTT_V2=1 forces
+    it on (tests), EVA_TPU_NTT_V2=0 forces v1. Requires n1 = n/128 >= 8,
+    i.e. n >= 1024."""
     import os
-    variant = 1
-    if os.environ.get("EVA_TPU_NTT_V2") and n // LANES >= 8:
-        variant = 2
-    return _get_pallas_ntt_cached(primes, n, variant)
+    if n // LANES < 8:
+        return False
+    flag = os.environ.get("EVA_TPU_NTT_V2")
+    if flag is not None and flag != "":
+        return flag != "0"
+    import jax
+    return jax.default_backend() == "tpu"
+
+
+def get_pallas_ntt(primes: Tuple[int, ...], n: int):
+    """NTT kernel engine for (primes, n); see ntt_v2_selected."""
+    return _get_pallas_ntt_cached(primes, n, 2 if ntt_v2_selected(n) else 1)

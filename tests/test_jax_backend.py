@@ -154,6 +154,54 @@ class TestPallasNTT:
             assert np.array_equal(got[b], ref)
 
 
+class TestPallasNTTv2:
+    """The v2 (relayout-minimal) stage schedule must be bit-identical
+    to v1 — it is the DEFAULT on real TPU hardware (measured 2.0x fwd /
+    1.5x inv at N=16384, tools/bench_ntt_v2.py), so interpret-mode CI
+    must keep covering it even though CPU runs default to v1."""
+
+    def test_bit_identical_to_v1_and_roundtrip(self):
+        from eva_tpu.crypto.primes import build_chain
+        from eva_tpu.backend.pallas_ntt import PallasNTT
+        from eva_tpu.backend.pallas_ntt_v2 import PallasNTTv2
+        n = 1024
+        chain = build_chain([40, 40], n)
+        primes = [q for e in chain for q in e.primes]
+        v1, v2 = PallasNTT(primes, n), PallasNTTv2(primes, n)
+        rng = np.random.default_rng(9)
+        x = np.stack([rng.integers(0, q, n, dtype=np.uint64)
+                      .astype(np.uint32) for q in primes])
+        a, b = np.asarray(v1.ntt(x)), np.asarray(v2.ntt(x))
+        assert np.array_equal(a, b)
+        ai, bi = np.asarray(v1.intt(a)), np.asarray(v2.intt(a))
+        assert np.array_equal(ai, bi)
+        assert np.array_equal(bi, x)
+
+    def test_v2_fused_ks_end_to_end(self, monkeypatch):
+        """HE round-trip of a rotation-bearing program with the v2
+        kernels forced on (exercises the v2 rows inside the fused MAC
+        and epilogue kernels in interpret mode)."""
+        monkeypatch.setenv("EVA_TPU_NTT_V2", "1")
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        from eva_tpu.runtime import generate_keys
+        prog = EvaProgram("rot_v2", vec_size=1024)
+        with prog:
+            x = Input("x")
+            Output("y", (x << 1) * 2 + (x << 3) * x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(40)
+        inputs = {"x": [i * 0.001 for i in range(1024)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false"}).compile(prog)
+        pub, sec = generate_keys(params, backend="jax")
+        enc = pub.encrypt(inputs, sig)
+        out = sec.decrypt(pub.execute(compiled, enc), sig)
+        assert valuation_mse(out, ref) < 0.01
+
+
 class TestCrossBackendEquivalence:
     """The numpy and JAX executors must produce IDENTICAL ciphertexts for
     the same encrypted valuation (all kernels are bit-exact counterparts,
