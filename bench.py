@@ -573,15 +573,13 @@ def measure_vpu_modmul(jax, jnp, dev, poly, on_tpu: bool) -> float:
         return best
 
     r1, r2 = (4, 24) if on_tpu else (1, 3)
-    per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-    if per <= 0:
-        # Tunnel noise produced a non-positive slope; a silently-clamped
-        # near-zero `per` would make every compute_pct read 0.0. Retry
-        # once, then fall back to the (overhead-inclusive, so
-        # conservative) long-chain average.
-        per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-        if per <= 0:
-            per = chain_time(r2) / r2
+    # Ceiling probe: noise only inflates a slope, so keep the BEST of 2
+    # positive slopes; a noise-negative pair falls back to the
+    # (overhead-inclusive, so conservative) long-chain average.
+    slopes = [(chain_time(r2) - chain_time(r1)) / (r2 - r1)
+              for _ in range(2)]
+    pos = [s for s in slopes if s > 0]
+    per = min(pos) if pos else chain_time(r2) / r2
     n_elems = 1
     for d in poly.shape:
         n_elems *= d

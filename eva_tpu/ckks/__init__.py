@@ -146,6 +146,31 @@ class CKKSCompiler:
                          "are required for security.", program.vec_size, slots)
                 enc_params.poly_modulus_degree = 2 * program.vec_size
 
+        if self.config.two_entry_ks:
+            # TPU-native option: spend SPARE coeff-modulus budget on a
+            # second key-switch special-modulus entry (P ~ 2^120), so
+            # hybrid digits pack ~2x the sub-primes — half the digit
+            # NTT/MAC work per key switch (the dominant op). Applied
+            # only when the HE-standard budget at the ALREADY-CHOSEN N
+            # has the slack and the chain is deep enough to profit;
+            # never changes N, levels, or scales. With the option off
+            # the parameter output is byte-identical to the reference.
+            key_bits = enc_params.prime_bits[-1]
+            budget = max_bits_for_degree(
+                self.config.security_level, self.config.quantum_safe,
+                enc_params.poly_modulus_degree)
+            deep_enough = len(enc_params.prime_bits) >= 4  # >=3 data entries
+            if deep_enough and bit_count + key_bits <= budget:
+                enc_params.prime_bits.append(key_bits)
+                enc_params.key_terms = 2
+                bit_count += key_bits
+            elif verbosity_at_least(INFO):
+                log(INFO,
+                    "EVA: two_entry_ks requested but not applied "
+                    "(%s); keeping the single key prime",
+                    "chain too shallow to profit" if not deep_enough
+                    else f"no budget slack at N={enc_params.poly_modulus_degree}")
+
         if verbosity_at_least(INFO):
             n = enc_params.poly_modulus_degree
             log(INFO,

@@ -16,7 +16,11 @@ OPTIONS_HELP_MESSAGE = (
     "                     instead of growing the ring (TPU-native extension). bool (default=true)\n"
     "bsgs_rotations     - Factor rotation-heavy sums baby-step/giant-step, cutting key switches\n"
     "                     and rotation keys ~2x for convolutions (TPU-native extension; requires\n"
-    "                     balance_reductions). bool (default=true)"
+    "                     balance_reductions). bool (default=true)\n"
+    "two_entry_ks       - Spend spare coeff-modulus budget on a SECOND key-switch special\n"
+    "                     modulus entry (P ~ 2^120), halving hybrid key-switch digit count on\n"
+    "                     deep chains (TPU-native extension; only applied when the HE-standard\n"
+    "                     budget has the slack — never changes N). bool (default=false)"
 )
 
 RESCALERS = ("lazy_waterline", "eager_waterline", "always", "minimum")
@@ -41,6 +45,7 @@ class CKKSConfig:
         self.warn_vec_size = True
         self.shard_vectors = True
         self.bsgs_rotations = True
+        self.two_entry_ks = False
         if config:
             for key, value in config.items():
                 if key == "balance_reductions":
@@ -62,6 +67,8 @@ class CKKSConfig:
                     self.shard_vectors = _parse_bool(key, value)
                 elif key == "bsgs_rotations":
                     self.bsgs_rotations = _parse_bool(key, value)
+                elif key == "two_entry_ks":
+                    self.two_entry_ks = _parse_bool(key, value)
                 else:
                     print(
                         f"WARNING: Unknown option {key}. Available options are:\n"
@@ -76,4 +83,5 @@ class CKKSConfig:
             f"quantum_safe = {str(self.quantum_safe).lower()}\n"
             f"warn_vec_size = {str(self.warn_vec_size).lower()}\n"
             f"bsgs_rotations = {str(self.bsgs_rotations).lower()}\n"
-            f"shard_vectors = {str(self.shard_vectors).lower()}")
+            f"shard_vectors = {str(self.shard_vectors).lower()}\n"
+            f"two_entry_ks = {str(self.two_entry_ks).lower()}")

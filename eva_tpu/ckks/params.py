@@ -58,23 +58,32 @@ def min_degree_for_bit_count(security_level: int, quantum_safe: bool, bit_count:
 
 
 class CKKSParameters:
-    """Abstract encryption parameters chosen by the compiler."""
+    """Abstract encryption parameters chosen by the compiler.
 
-    def __init__(self, prime_bits=None, rotations=None, poly_modulus_degree=0):
+    key_terms: how many trailing prime_bits entries form the key-switch
+    special modulus P (1 = reference/SEAL convention; 2 under the
+    two_entry_ks compiler option)."""
+
+    def __init__(self, prime_bits=None, rotations=None,
+                 poly_modulus_degree=0, key_terms=1):
         self.prime_bits: List[int] = list(prime_bits or [])
         self.rotations: List[int] = sorted(rotations or [])
         self.poly_modulus_degree = poly_modulus_degree
+        self.key_terms = key_terms
 
     def __repr__(self):
+        extra = (f", key_terms={self.key_terms}"
+                 if self.key_terms != 1 else "")
         return (f"CKKSParameters(prime_bits={self.prime_bits}, "
                 f"rotations={self.rotations}, "
-                f"poly_modulus_degree={self.poly_modulus_degree})")
+                f"poly_modulus_degree={self.poly_modulus_degree}{extra})")
 
     def __eq__(self, other):
         return (isinstance(other, CKKSParameters)
                 and self.prime_bits == other.prime_bits
                 and self.rotations == other.rotations
-                and self.poly_modulus_degree == other.poly_modulus_degree)
+                and self.poly_modulus_degree == other.poly_modulus_degree
+                and self.key_terms == getattr(other, "key_terms", 1))
 
 
 class CKKSEncodingInfo:

@@ -21,15 +21,26 @@ from .primes import ChainEntry, build_chain
 
 class CKKSContext:
     def __init__(self, prime_bits: Sequence[int], rotations: Sequence[int],
-                 poly_modulus_degree: int):
+                 poly_modulus_degree: int, key_terms: int = 1):
+        """key_terms: how many trailing chain entries form the
+        key-switch special modulus P (product of their primes). The
+        reference/SEAL convention is 1; the compiler's two_entry_ks
+        option selects 2 (P ~ 2^120) so hybrid digits can pack twice
+        the sub-primes — half the digit count on deep chains."""
         self.n = int(poly_modulus_degree)
         self.prime_bits = list(prime_bits)
         self.rotations = sorted(rotations)
+        self.key_terms = int(key_terms)
+        assert 1 <= self.key_terms <= len(self.prime_bits)
         self.chain: List[ChainEntry] = build_chain(self.prime_bits, self.n)
-        self.key_entry = self.chain[-1]
-        self.data_entries = self.chain[:-1]
+        self.key_entries = self.chain[-self.key_terms:]
+        self.data_entries = self.chain[:-self.key_terms]
         self.data_primes: List[int] = [q for e in self.data_entries for q in e.primes]
-        self.key_primes: List[int] = list(self.key_entry.primes)
+        self.key_primes: List[int] = [q for e in self.key_entries
+                                      for q in e.primes]
+        self.key_product: int = 1
+        for q in self.key_primes:
+            self.key_product *= q
         self.all_primes: List[int] = self.data_primes + self.key_primes
         self.encoder = get_encoder(self.n)
         self._perm_cache: Dict[int, np.ndarray] = {}
@@ -66,7 +77,7 @@ class CKKSContext:
         # the prime-pair lattice error (~2^-9..2^-19 relative), so a strict
         # <= P test would reject the standard 60-bit-entry pairing. A group
         # up to 2P keeps the rounding term within ~2x of the P-sized ideal.
-        P2 = 2 * self.key_entry.product
+        P2 = 2 * self.key_product
         groups: List[List[int]] = []
         cur: List[int] = []
         prod = 1
@@ -240,5 +251,6 @@ class CKKSContext:
 
 
 @lru_cache(maxsize=8)
-def get_context(prime_bits: tuple, rotations: tuple, degree: int) -> CKKSContext:
-    return CKKSContext(list(prime_bits), list(rotations), degree)
+def get_context(prime_bits: tuple, rotations: tuple, degree: int,
+                key_terms: int = 1) -> CKKSContext:
+    return CKKSContext(list(prime_bits), list(rotations), degree, key_terms)

@@ -194,7 +194,7 @@ def _make_kswitch_key(ctx: CKKSContext, s: SecretKey, target_ntt: np.ndarray,
     batches the deterministic arithmetic on device and is byte-identical
     to the host path (backend/keygen.DeviceKeygen)."""
     basis = ctx.all_primes
-    P = ctx.key_entry.product
+    P = ctx.key_product
     Q = 1
     for q in ctx.data_primes:
         Q *= q
@@ -240,16 +240,23 @@ def _ksk_compute(ctx: CKKSContext, s_rows: np.ndarray, target_ntt: np.ndarray,
     return k0, k1
 
 
-def default_ks_alpha() -> int:
-    """Decomposition group size: EVA_TPU_KS_ALPHA, default 2.
+def default_ks_alpha(ctx: CKKSContext = None) -> int:
+    """Decomposition group size: EVA_TPU_KS_ALPHA, default = the number
+    of key sub-primes (2 for the standard one-entry special modulus,
+    4 under the compiler's two_entry_ks option).
 
-    alpha=2 halves the key-switch NTT and MAC work (half the digits over
-    the same extended basis) at the cost of a modestly larger rounding
-    term (digits bounded by ~alpha * Q_j instead of q_j); with 31-bit
-    sub-primes and a 60-bit special modulus the extra noise is a small
-    constant factor over the fresh-encryption noise."""
+    Packing alpha sub-primes per digit divides the key-switch NTT and
+    MAC work by alpha (fewer digits over the same extended basis) at
+    the cost of a larger rounding term — but ks_groups caps every digit
+    product at ~2P, so the Q_j/P noise ratio stays bounded regardless:
+    matching alpha to the key sub-prime count simply packs digits up to
+    the size P can suppress. Measured round-5: alpha>len(key_primes)
+    degenerates to the same grouping (the 2P cap binds first)."""
     import os
-    return max(1, int(os.environ.get("EVA_TPU_KS_ALPHA", "2")))
+    env = os.environ.get("EVA_TPU_KS_ALPHA")
+    if env:
+        return max(1, int(env))
+    return len(ctx.key_primes) if ctx is not None else 2
 
 
 def generate_keys(ctx: CKKSContext, alpha: int = None,
@@ -258,7 +265,7 @@ def generate_keys(ctx: CKKSContext, alpha: int = None,
     batches the per-digit KSK arithmetic on device — byte-identical key
     material, ~4x faster wall time for rotation-heavy key sets."""
     if alpha is None:
-        alpha = default_ks_alpha()
+        alpha = default_ks_alpha(ctx)
     rng = _rng()
     s = SecretKey(ctx, _sample_ternary(ctx, rng))
 

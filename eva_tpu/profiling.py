@@ -48,13 +48,16 @@ def _slope_time(fn: Callable, x0, red, reps_short=4, reps_long=24) -> float:
 
 
 def measure_hbm_roofline(jax, jnp) -> float:
-    """Achievable HBM bytes/s: median of 3 slope measurements of a
-    large fused elementwise op (one read + one write per element)."""
-    import statistics
+    """Achievable HBM bytes/s from 3 slope measurements of a large
+    fused elementwise op (one read + one write per element). This is a
+    CEILING: tunnel noise only ever inflates a slope (never deflates
+    it), so the BEST (smallest) per-execution time is the right
+    statistic — a median over noisy samples once reported 244 GB/s on a
+    598 GB/s part and inflated every kernel's %-of-SoL."""
     x = jnp.ones((128 * 1024 * 1024 // 4,), jnp.uint32)  # 128 MB
     f = jax.jit(lambda v: v * jnp.uint32(3) + jnp.uint32(1))
     red = jax.jit(lambda v: jnp.sum(v >> 31))
-    per = statistics.median(_slope_time(f, x, red) for _ in range(3))
+    per = min(_slope_time(f, x, red) for _ in range(3))
     return 2 * x.size * 4 / per  # read + write
 
 
@@ -164,10 +167,11 @@ def estimate_program(compiled, params, *, ntt_row_us: float = 3.1,
     from .ir import ROTATION, Op, Type
     from .runtime.executor import Executor
 
-    if ks_alpha is None:
-        ks_alpha = default_ks_alpha()  # the alpha generate_keys will use
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
-                      params.poly_modulus_degree)
+                      params.poly_modulus_degree,
+                      getattr(params, "key_terms", 1))
+    if ks_alpha is None:
+        ks_alpha = default_ks_alpha(ctx)  # the alpha generate_keys uses
     ex = Executor(compiled, ctx, None)
     plan, types, order = ex.plan, ex.types, ex.order
     hoisted = ex._hoisted_sources

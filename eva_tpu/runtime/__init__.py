@@ -44,8 +44,9 @@ def _check_params(mine: CKKSParameters, val, where: str) -> None:
     if theirs is None or theirs == mine:
         return
     diffs = []
-    for field in ("poly_modulus_degree", "prime_bits", "rotations"):
-        a, b = getattr(mine, field), getattr(theirs, field)
+    for field in ("poly_modulus_degree", "prime_bits", "rotations",
+                  "key_terms"):
+        a, b = getattr(mine, field, 1), getattr(theirs, field, 1)
         if list(np.atleast_1d(a)) != list(np.atleast_1d(b)):
             diffs.append(f"{field} {list(np.atleast_1d(b))} != "
                          f"{list(np.atleast_1d(a))}")
@@ -233,7 +234,8 @@ def generate_keys(params: CKKSParameters, backend: Optional[str] = None):
     chain, samples the ternary secret, RLWE public key, relinearization
     key, and one Galois key per rotation step."""
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
-                      params.poly_modulus_degree)
+                      params.poly_modulus_degree,
+                      getattr(params, "key_terms", 1))
     engine = None
     if backend == "jax":
         try:

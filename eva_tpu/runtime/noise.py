@@ -65,7 +65,8 @@ def estimate_noise(compiled: Program, params, signature,
     from ..crypto.context import get_context
 
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
-                      params.poly_modulus_degree)
+                      params.poly_modulus_degree,
+                      getattr(params, "key_terms", 1))
     n = ctx.n
     if inputs is None:
         inputs = {name: [1.0] * compiled.vec_size
@@ -103,8 +104,8 @@ def estimate_noise(compiled: Program, params, signature,
         sigma * sqrt(N/3 * sum_j (a_j*Qg_j/P)^2) per coefficient (for
         alpha=1 digits q_t/P ~ 2^-29 makes this negligible)."""
         from ..crypto.keys import default_ks_alpha
-        alpha = default_ks_alpha()
-        P = ctx.key_entry.product
+        alpha = default_ks_alpha(ctx)
+        P = ctx.key_product
         groups, _, _ = ctx.ks_tables(level, alpha)
         primes = ctx.primes_at_level(level)
         s = 0.0

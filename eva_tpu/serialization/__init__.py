@@ -132,12 +132,16 @@ def serialize_params(params: CKKSParameters):
     msg.prime_bits.extend(params.prime_bits)
     msg.rotations.extend(params.rotations)
     msg.poly_modulus_degree = params.poly_modulus_degree
+    key_terms = getattr(params, "key_terms", 1)
+    if key_terms != 1:  # absent field (0) means 1: pre-round-5 files
+        msg.key_terms = key_terms
     return msg
 
 
 def deserialize_params(msg) -> CKKSParameters:
     return CKKSParameters(list(msg.prime_bits), list(msg.rotations),
-                          msg.poly_modulus_degree)
+                          msg.poly_modulus_degree,
+                          key_terms=msg.key_terms or 1)
 
 
 def serialize_signature(sig: CKKSSignature):
@@ -219,7 +223,8 @@ def deserialize_valuation(msg):
             params = deserialize_params(msg.params)
             ctx = get_context(tuple(params.prime_bits),
                               tuple(params.rotations),
-                              params.poly_modulus_degree)
+                              params.poly_modulus_degree,
+                              getattr(params, "key_terms", 1))
             shards = polys[0].shape[0] if polys[0].ndim == 3 else 1
             polys.append(expand_seeded_c1(ctx, seed, c.level, shards,
                                           xof=c.xof))
@@ -277,7 +282,8 @@ def deserialize_public(msg):
     from ..runtime import EVAPublic
     params = deserialize_params(msg.params)
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
-                      params.poly_modulus_degree)
+                      params.poly_modulus_degree,
+                      getattr(params, "key_terms", 1))
     if msg.pk_a_seed:
         seed = bytes(msg.pk_a_seed)
         pk_a = K.expand_uniform(ctx, ctx.data_primes, seed, msg.pk_xof)
@@ -304,7 +310,8 @@ def deserialize_secret(msg):
     from ..runtime import EVASecret
     params = deserialize_params(msg.params)
     ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
-                      params.poly_modulus_degree)
+                      params.poly_modulus_degree,
+                      getattr(params, "key_terms", 1))
     coeffs = np.frombuffer(msg.secret_coeffs, dtype=np.int8).astype(np.int64)
     secret = K.SecretKey(ctx, coeffs)
     keyset = K.KeySet(ctx, secret, None, None, {})

@@ -294,6 +294,86 @@ class TestStd:
         compile_and_check(prog, he=False)
 
 
+class TestTwoEntryKS:
+    """two_entry_ks: a second key-switch special-modulus entry
+    (P ~ 2^120), applied only within the HE-standard budget slack —
+    never changes N, levels, or scales (TPU-native extension; ckks/
+    __init__.py two_entry_ks; reference convention is a single key
+    prime, eva/ckks/encryption_parameter_selector.h:15-208)."""
+
+    def _deep(self, depth=4):
+        prog = EvaProgram("deep2p", vec_size=1024)
+        with prog:
+            x = Input("x")
+            y = x
+            for _ in range(depth):
+                y = y * y
+            Output("y", y + (x << 1))
+        prog.set_output_ranges(20)
+        prog.set_input_scales(40)
+        return prog
+
+    def test_applied_when_slack_allows(self):
+        base = CKKSCompiler({"warn_vec_size": "false"}).compile(
+            self._deep())[1]
+        _, params, _ = compile_and_check(
+            self._deep(), he=True, config={"two_entry_ks": "true"})
+        assert params.key_terms == 2
+        assert params.prime_bits == base.prime_bits + [base.prime_bits[-1]]
+        assert params.poly_modulus_degree == base.poly_modulus_degree
+
+    def test_digit_count_halves(self):
+        from eva_tpu.crypto.context import get_context
+        from eva_tpu.crypto.keys import default_ks_alpha
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false", "two_entry_ks": "true"}).compile(
+            self._deep())
+        ctx = get_context(tuple(params.prime_bits), tuple(params.rotations),
+                          params.poly_modulus_degree, params.key_terms)
+        assert len(ctx.key_primes) == 4
+        assert default_ks_alpha(ctx) == 4
+        g2 = ctx.ks_groups(4)
+        g1 = ctx.ks_groups(2)
+        assert max(len(g) for g in g2) == 4
+        assert len(g2) < len(g1)
+
+    def test_not_applied_shallow_or_over_budget(self):
+        # Shallow: x*x leaves only 3 entries -> no profit, golden
+        # reference output preserved even with the option on.
+        prog = EvaProgram("shallow", vec_size=4)
+        with prog:
+            x = Input("x")
+            Output("y", x * x)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(60)
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false", "two_entry_ks": "true",
+             "rescaler": "lazy_waterline"}).compile(prog)
+        assert params.prime_bits == [60, 20, 60, 60]
+        assert params.key_terms == 1
+        # Over budget: a deep chain already near the N=16384 cap (438
+        # bits) has no slack for another 60-bit entry.
+        deep = self._deep(depth=5)  # 60+5*40+... pushes past 438-60
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false", "two_entry_ks": "true"}).compile(deep)
+        total = sum(params.prime_bits)
+        from eva_tpu.ckks.params import max_bits_for_degree
+        budget = max_bits_for_degree(128, False,
+                                     params.poly_modulus_degree)
+        if params.key_terms == 1:
+            assert total + params.prime_bits[-1] > budget
+        else:  # slack existed after all: applied within budget
+            assert total <= budget
+
+    def test_wire_roundtrip_and_param_check(self):
+        from eva_tpu.serialization import load_from_string, save_to_string
+        _, params, _ = CKKSCompiler(
+            {"warn_vec_size": "false", "two_entry_ks": "true"}).compile(
+            self._deep())
+        clone = load_from_string(save_to_string(params))
+        assert clone == params and clone.key_terms == 2
+
+
 class TestBSGSRotations:
     """BSGSRotationFactorizer (eva_tpu/passes.py): a TPU-build extension
     factoring rotation-heavy sums baby-step/giant-step. Motivating

@@ -183,7 +183,7 @@ class TestHybridKeySwitch:
     standard hybrid design."""
 
     def test_groups_respect_special_modulus(self, ctx):
-        P = ctx.key_entry.product
+        P = ctx.key_product
         for alpha in (2, 3, 4):
             groups = ctx.ks_groups(alpha)
             flat = [t for g in groups for t in g]

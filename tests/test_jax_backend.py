@@ -202,6 +202,36 @@ class TestPallasNTTv2:
         assert valuation_mse(out, ref) < 0.01
 
 
+class TestTwoEntryKSJax:
+    def test_two_entry_ks_round_trip(self):
+        """Two-entry special modulus (P ~ 2^120, alpha=4 digits) through
+        the jax backend's fused key-switch kernels: n_key=4 P-divisions
+        in the epilogue, 4-sub-prime FBE in the MAC."""
+        from eva_tpu import EvaProgram, Input, Output, evaluate
+        from eva_tpu.ckks import CKKSCompiler
+        from eva_tpu.metric import valuation_mse
+        from eva_tpu.runtime import generate_keys
+        prog = EvaProgram("deep2p_jax", vec_size=1024)
+        with prog:
+            x = Input("x")
+            y = x
+            for _ in range(3):
+                y = y * y
+            Output("y", y + (x << 1) * 2)
+        prog.set_output_ranges(20)
+        prog.set_input_scales(40)
+        inputs = {"x": [i * 0.0005 for i in range(1024)]}
+        ref = evaluate(prog, inputs)
+        compiled, params, sig = CKKSCompiler(
+            {"warn_vec_size": "false", "two_entry_ks": "true"}).compile(prog)
+        assert params.key_terms == 2
+        pub, sec = generate_keys(params, backend="jax")
+        assert pub._keys.relin.alpha == 4
+        enc = pub.encrypt(inputs, sig)
+        out = sec.decrypt(pub.execute(compiled, enc), sig)
+        assert valuation_mse(out, ref) < 0.01
+
+
 class TestCrossBackendEquivalence:
     """The numpy and JAX executors must produce IDENTICAL ciphertexts for
     the same encrypted valuation (all kernels are bit-exact counterparts,
