@@ -263,7 +263,14 @@ def intt_row_v2(x, corr, gs_tab, dit_tab, q, plans: V2Plans,
 
 
 class PallasNTTv2:
-    """Drop-in replacement for pallas_ntt.PallasNTT (bit-identical)."""
+    """Drop-in replacement for pallas_ntt.PallasNTT (bit-identical).
+
+    A lane-axis form of the n2 sub-transform (v3: roll+select along
+    lanes, no mid-kernel transposes) was prototyped and MEASURED at
+    parity with this form across two on-chip sessions (ntt 208 vs 215 /
+    170 vs 181 us, intt 195 vs 166 / 190 vs 214 us) — Mosaic's
+    transposes are cheap enough that doubling the stage multiplies
+    buys nothing; deleted per the <1.2x win-or-kill rule."""
 
     def __init__(self, primes: List[int], n: int):
         self.t = PallasNTTTables(primes, n)
