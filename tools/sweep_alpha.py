@@ -14,18 +14,16 @@ Run on the TPU tunnel:
   PYTHONPATH=/root/repo:$PYTHONPATH python tools/sweep_alpha.py
 Writes tools/alpha_sweep.json and prints a table.
 
-Why alpha > 2 needs a WIDER special modulus, and why we don't ship it:
-the rounding term of the hybrid key switch is bounded by max_j Q_j / P;
-groups are therefore packed only while their product stays <= 2P
-(crypto/context.py ks_groups). One 60-bit key entry = two ~30-bit
-sub-primes, so at most two data sub-primes fit a group no matter what
-alpha requests. Packing 4 sub-primes per digit would need P ~ 2^120
-(two 60-bit key entries), which costs 60 bits of the HE-standard total
-modulus budget (ckks/params.py tables) — at N=16384/128-bit security
-that budget is what bounds the usable data chain, so widening P either
-shrinks Q by a level or forces N=32768 (2x every kernel). That trade
-only pays for chains shallow enough to leave 60 unused budget bits;
-measured here as the documented next lever, not a default.
+Why alpha > 2 needs a WIDER special modulus: the rounding term of the
+hybrid key switch is bounded by max_j Q_j / P; groups are therefore
+packed only while their product stays <= 2P (crypto/context.py
+ks_groups). One 60-bit key entry = two ~30-bit sub-primes, so at most
+two data sub-primes fit a group no matter what alpha requests. Packing
+4 sub-primes per digit needs P ~ 2^120 (two 60-bit key entries) at 60
+bits of the HE-standard modulus budget — SHIPPED round 5 as the
+opt-in `two_entry_ks` compiler option, applied only when the budget at
+the chosen N has the slack (tools/bench_two_entry.py measures it:
+rotation 193.5 -> 176.0 us at L0, noise unchanged).
 """
 
 from __future__ import annotations
