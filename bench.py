@@ -689,6 +689,26 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
                                          digit_bytes + mac_bytes,
                                          full_muls, None)
 
+    # MAC+epilogue measured DIRECTLY on precomputed digits: at v2 kernel
+    # speeds the old full-dig-epi double subtraction mostly measured
+    # dispatch-overhead deltas (ks_mac_only once read 109.5 us for an
+    # untouched MAC kernel). Chain dependence: each iteration's own-rows
+    # are perturbed by a bit derived from the previous MAC outputs, so
+    # dispatches cannot overlap-collapse; the perturbation costs one
+    # elementwise xor.
+    from eva_tpu.backend.executor_jax import StructDigits
+    dig0 = shim._ks_digits(poly, level)
+
+    @jax.jit
+    def mac_step(own):
+        d = StructDigits(own, dig0.a, dig0.b, dig0.n_groups)
+        d0, d1 = shim._ks_apply(d, level, layout)
+        s = (d0[..., :1, :1] ^ d1[..., :1, :1]) & jnp.uint32(1)
+        return own ^ jnp.broadcast_to(s, own.shape)
+
+    steps["ks_mac+pdiv(direct)"] = (mac_step, mac_bytes + epi_bytes,
+                                    mac_muls + epi_muls, dig0.own)
+
     from eva_tpu.profiling import measure_hbm_roofline
 
     red = jax.jit(lambda v: jnp.sum(v >> 31))
@@ -729,12 +749,17 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
                          "compute_pct": round(
                              100 * muls * batch * N / per / vpu, 1)}
             print(f"bench: kernel {name}: {out[name]}", file=sys.stderr)
-        # stage split by subtraction: MAC = full KS - digits - epilogue
+        # Stage split: decomposition and epilogue are direct; MAC comes
+        # from the DIRECTLY measured mac+pdiv step minus the directly
+        # measured epilogue (single subtraction of two same-methodology
+        # numbers — the old full-dig-epi double subtraction broke down
+        # at v2 kernel speeds).
         dig = out["ks_digits(intt+fbe+ntt)"]["us"]
         epi = out["ks_epilogue(2xPdiv)"]["us"]
         full = out["ks_full(digits+mac+pdiv)"]["us"]
+        mac_pdiv = out["ks_mac+pdiv(direct)"]["us"]
         out["ks_mac_epilogue_us"] = round(max(full - dig, 0.0), 1)
-        mac = max(full - dig - epi, 0.0)
+        mac = max(mac_pdiv - epi, 0.0)
         out["ks_mac_only_us"] = round(mac, 1)
         if mac > 0:
             # Measured decomposition : MAC : epilogue ratios — the
