@@ -725,12 +725,14 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
                 best = min(best, time.perf_counter() - t0)
             return best
         r1, r2 = (4, 24) if on_tpu else (1, 3)
-        per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-        if per <= 0:  # noise-negative slope: retry, then long-chain avg
+        samples = []
+        for _ in range(3 if on_tpu else 1):
             per = (chain_time(r2) - chain_time(r1)) / (r2 - r1)
-            if per <= 0:
-                per = chain_time(r2) / r2
-        return per
+            if per > 0:
+                samples.append(per)
+        if not samples:  # all noise-negative: long-chain average
+            return chain_time(r2) / r2
+        return statistics.median(samples)
 
     def measure(out: dict) -> dict:
         """Fills `out` INCREMENTALLY (one compile per kernel), so a
@@ -761,13 +763,20 @@ def setup_kernel_sol(ctx, keys, on_tpu: bool):
         out["ks_mac_epilogue_us"] = round(max(full - dig, 0.0), 1)
         mac = max(mac_pdiv - epi, 0.0)
         out["ks_mac_only_us"] = round(mac, 1)
-        if mac > 0:
-            # Measured decomposition : MAC : epilogue ratios — the
-            # BSGSRotationFactorizer cost-model constants
-            # (passes.py DEC_COST/MAC_COST/EPI_COST) chain to these.
+        # Publish the decomposition : MAC : epilogue ratios only when
+        # the split is self-consistent (the MAC share of the directly
+        # measured mac+pdiv step must be non-trivial; a drift-squeezed
+        # subtraction can still produce a near-zero MAC on a bad pass).
+        # The BSGSRotationFactorizer constants (passes.py DEC/MAC/EPI)
+        # chain to these; validated 13.1 : 1 : 6.9 vs shipped
+        # 12.3 : 1 : 7.0.
+        if mac >= 0.05 * mac_pdiv:
             out["bsgs_cost_units"] = {
                 "dec": round(dig / mac, 2), "mac": 1.0,
                 "epi": round(epi / mac, 2)}
+        else:
+            out["bsgs_cost_units_unstable"] = {
+                "dig_us": dig, "epi_us": epi, "mac_pdiv_us": mac_pdiv}
         # rotation SoL from the already-measured rotation median (same
         # jitted fn the rotation metric timed; no extra compile).
         rot_s = _med(_RESULTS.get("rotation_samples", []))
